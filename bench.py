@@ -1,0 +1,111 @@
+"""Throughput benchmark: udaiic (headline) train step on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "slices_per_sec_per_chip", "value": N, "unit": "slices/s", "vs_baseline": N}
+
+Workload = the reference's headline step (SURVEY §6): U-Net fwd+bwd over the
+concatenated B=24 batch (4 labeled + 10 unlabeled + 10 flipped twins) at
+1x224x224, UDA consistency + global IIC MI at Conv5 + displaced local MI at
+Up_conv3 (pad 1) / Up_conv2 (pad 3), 5 subheads, 20 clusters, Adam update.
+Slices/sec counts all 24 slices per step (same accounting one would apply to
+the reference's per-iteration batch).
+
+Baseline: the reference publishes NO throughput numbers (BASELINE.md). We
+anchor vs_baseline to an estimated 68 slices/s for the PyTorch 1.6 reference
+on its unspecified CUDA-10.2-era GPU (B=24 step ~350 ms: U-Net fwd+bwd +
+C=20 conv2d-joint MI losses + per-step python metric reductions). Override
+with env BENCH_BASELINE_SLICES_PER_SEC.
+
+Env knobs: BENCH_DTYPE (bfloat16|float32, default bfloat16),
+BENCH_STEPS (default 30), BENCH_BACKEND (auto|xla|pallas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+        build_optimizer,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.state import (
+        init_train_state,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.steps import (
+        build_train_step,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models import (
+        ProjectorWrapper,
+        UNet,
+    )
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        os.environ.get("BENCH_DTYPE", "bfloat16")
+    ]
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+    crop, num_classes = 224, 4
+    n_lab, n_unlab = 4, 10
+    feature_names = ("Conv5", "Up_conv3", "Up_conv2")
+
+    model = UNet(input_dim=1, num_classes=num_classes, dtype=dtype)
+    projector = ProjectorWrapper(
+        feature_names=feature_names, num_clusters=20, num_subheads=5,
+        head_types="linear", normalize=False,
+    )
+    tx = build_optimizer({"name": "Adam", "lr": 1e-7, "weight_decay": 1e-5})
+    state = init_train_state(
+        model, tx, (1, crop, crop, 1), seed=0,
+        projector=projector, projector_feature_names=feature_names,
+    )
+    step = build_train_step(
+        model, tx, "udaiic",
+        num_classes=num_classes,
+        feature_names=feature_names,
+        feature_importance=[1.0, 0.5, 0.5],
+        projector=projector,
+        uda_criterion="mse", uda_weight=10.0, iic_weight=0.1, reg_weight=1.0,
+        paddings=[1, 3], patch_sizes=1024,
+        backend=backend,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "labeled_image": jnp.asarray(rng.random((n_lab, crop, crop, 1)), jnp.float32),
+        "labeled_target": jnp.asarray(
+            rng.integers(0, num_classes, (n_lab, crop, crop)), jnp.int32
+        ),
+        "unlabeled_image": jnp.asarray(rng.random((n_unlab, crop, crop, 1)), jnp.float32),
+    }
+
+    # warmup / compile
+    for _ in range(5):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - t0
+
+    slices_per_sec = (n_lab + 2 * n_unlab) * steps / elapsed
+    baseline = float(os.environ.get("BENCH_BASELINE_SLICES_PER_SEC", "68.0"))
+    print(json.dumps({
+        "metric": "slices_per_sec_per_chip",
+        "value": round(slices_per_sec, 2),
+        "unit": "slices/s",
+        "vs_baseline": round(slices_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,21 @@
+from .acdc import ACDCDataset, ACDCSemiInterface, create_val_split
+from .augment import ACDCStrongTransforms, PairedTransform, TwiceTransform
+from .sampler import InfiniteRandomSampler, PatientSampler
+from .loader import SegmentationLoader, PatientEvalLoader, get_dataloaders, create_val_loader
+from .synthetic import generate_synthetic_acdc
+
+__all__ = [
+    "ACDCDataset",
+    "ACDCSemiInterface",
+    "create_val_split",
+    "ACDCStrongTransforms",
+    "PairedTransform",
+    "TwiceTransform",
+    "InfiniteRandomSampler",
+    "PatientSampler",
+    "SegmentationLoader",
+    "PatientEvalLoader",
+    "get_dataloaders",
+    "create_val_loader",
+    "generate_synthetic_acdc",
+]

@@ -1,0 +1,79 @@
+"""Synthetic ACDC-format fixture generator.
+
+The reference's preprocessed ACDC zip lives behind a private Google Drive link
+(acdc_dataset.py:15-17), so CI/tests/bench need a stand-in with the exact
+on-disk format: <root>/ACDC_contrast/{train,val}/{img,gt}/patientXXX_YY_ZZ.png
+plus acdc_info.npy mapping patient -> slice count. Images are structured
+(concentric ring "ventricle" phantoms) so segmentation training actually has
+signal, not pure noise.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+
+def _phantom(rng: np.random.Generator, size: int, num_classes: int):
+    """A ring phantom: background, myocardium ring, LV cavity, RV blob."""
+    yy, xx = np.indices((size, size))
+    cy = size / 2 + rng.uniform(-size / 8, size / 8)
+    cx = size / 2 + rng.uniform(-size / 8, size / 8)
+    r = np.hypot(yy - cy, xx - cx)
+    r_out = rng.uniform(size / 7, size / 4.8)
+    r_in = r_out * rng.uniform(0.5, 0.7)
+    gt = np.zeros((size, size), np.uint8)
+    img = rng.normal(0.25, 0.05, (size, size))
+    if num_classes >= 4:
+        # RV: crescent next to the ring
+        rv_cx = cx - r_out * 1.5
+        rv = np.hypot(yy - cy, xx - rv_cx) < r_out * rng.uniform(0.7, 0.9)
+        gt[rv] = 1
+        img[rv] += 0.25
+    ring = (r <= r_out) & (r > r_in)
+    cavity = r <= r_in
+    gt[ring] = 2 if num_classes >= 4 else 1
+    gt[cavity] = 3 if num_classes >= 4 else 1
+    img[ring] += 0.2
+    img[cavity] += 0.5
+    img = np.clip(img + rng.normal(0, 0.03, img.shape), 0, 1)
+    return (img * 255).astype(np.uint8), gt
+
+
+def generate_synthetic_acdc(
+    root: str,
+    num_train_patients: int = 10,
+    num_val_patients: int = 4,
+    slices_per_patient: int = 10,
+    size: int = 256,
+    num_classes: int = 4,
+    seed: int = 0,
+) -> str:
+    """Writes the dataset; returns ``root``. Idempotent (skips if present)."""
+    from PIL import Image
+
+    base = Path(root) / "ACDC_contrast"
+    info_path = base / "acdc_info.npy"
+    if info_path.exists():
+        return root
+    rng = np.random.default_rng(seed)
+    acdc_info: Dict[str, int] = {}
+    patient_id = 0
+    for mode, n_patients in (("train", num_train_patients), ("val", num_val_patients)):
+        for sub in ("img", "gt"):
+            (base / mode / sub).mkdir(parents=True, exist_ok=True)
+        for _ in range(n_patients):
+            patient_id += 1
+            frame = 1
+            group = f"patient{patient_id:03d}_{frame:02d}"
+            acdc_info[group] = slices_per_patient
+            for s in range(slices_per_patient):
+                img, gt = _phantom(rng, size, num_classes)
+                stem = f"{group}_{s:02d}"
+                Image.fromarray(img, mode="L").save(base / mode / "img" / f"{stem}.png")
+                Image.fromarray(gt, mode="L").save(base / mode / "gt" / f"{stem}.png")
+    np.save(str(info_path), acdc_info, allow_pickle=True)
+    return root

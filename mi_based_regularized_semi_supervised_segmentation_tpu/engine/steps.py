@@ -1,0 +1,275 @@
+"""Jitted train / eval steps — the hot loop, one XLA program per mode.
+
+This is the TPU-native re-expression of the reference epochers
+(/root/reference/semi_seg/epocher.py:110-323). One call does what a reference
+batch iteration did: sample flip booleans, build the twin view, ONE U-Net
+forward over the concatenated [labeled, unlabeled, unlabeled_tf] batch (BN
+statistics over the mixed batch — load-bearing for semi-supervised BN, SURVEY
+§7), split logits, re-apply the same flips to the unlabeled logits to form the
+transform-equivariant pair, supervised KL(CE) + mode-specific regularization,
+grads, optimizer update — all fused by XLA, no host round-trips.
+
+Mode semantics (semi_seg/trainer.py:24-214):
+- partial: reg = 0
+- uda:     reg_weight * consistency(softmax(f(Tx)), softmax(T f(x)).detach())
+- iic:     reg_weight * weighted-avg over feature positions of subhead-mean
+           MI losses (global IIDLoss at encoder taps, displaced local MI at
+           decoder taps, with the same flips re-applied to decoder features)
+- udaiic:  uda_weight * uda + iic_weight * iic (outer reg_weight 1.0)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.unet import ENCODER_NAMES
+from ..ops.flips import apply_flips, sample_flip_mask
+from ..ops.iic import iid_loss
+from ..ops.iic_local import iid_segmentation_small_patch_loss_subheads
+from ..ops.losses import kl_div, mse_consistency
+from ..utils.general import class2one_hot
+from .state import TrainState
+
+
+def _as_list(value, n: int) -> List:
+    if isinstance(value, (list, tuple)):
+        assert len(value) == n, (value, n)
+        return list(value)
+    return [value] * n
+
+
+def dice_stats(pred_labels: jnp.ndarray, target: jnp.ndarray, num_classes: int,
+               mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample per-class intersection / union sums ([B, C] each).
+    pred_labels/target: [B, H, W] ints; mask: [B] sample validity."""
+    pred_oh = class2one_hot(pred_labels, num_classes, class_axis=-1)  # [B,H,W,C]
+    tgt_oh = class2one_hot(target, num_classes, class_axis=-1)
+    inter = jnp.sum(pred_oh * tgt_oh, axis=(1, 2))
+    union = jnp.sum(pred_oh, axis=(1, 2)) + jnp.sum(tgt_oh, axis=(1, 2))
+    if mask is not None:
+        inter = inter * mask[:, None]
+        union = union * mask[:, None]
+    return inter, union
+
+
+def _iic_regularization(
+    projector,
+    proj_params,
+    features: Dict[str, jnp.ndarray],
+    flip_mask: jnp.ndarray,
+    n_labeled: int,
+    n_unlabeled: int,
+    feature_names: Sequence[str],
+    paddings: Sequence[int],
+    patch_sizes: Sequence[int],
+    backend: str,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Per-position MI losses (subhead-averaged). Returns ({name: loss}, …).
+
+    Pairing per position (semi_seg/epocher.py:249-276): slice the last
+    2*B_u feature rows into (plain, tf). Encoder positions use (plain, tf)
+    directly (global pooling is flip-invariant); decoder positions re-apply
+    the flips to the plain features. Both go through the position's cluster
+    head; per-subhead IIC losses are averaged."""
+    dec_idx = 0
+    paired: Dict[str, jnp.ndarray] = {}
+    is_encoder: Dict[str, bool] = {}
+    loss_cfg: Dict[str, Tuple[int, int]] = {}
+    for name in feature_names:
+        feat = features[name]
+        plain = feat[n_labeled:n_labeled + n_unlabeled]
+        tf = feat[n_labeled + n_unlabeled:]
+        if name in ENCODER_NAMES:
+            is_encoder[name] = True
+            plain_tf = plain
+        else:
+            is_encoder[name] = False
+            plain_tf = apply_flips(plain, flip_mask)
+            loss_cfg[name] = (paddings[dec_idx], patch_sizes[dec_idx])
+            dec_idx += 1
+        paired[name] = jnp.concatenate([plain_tf, tf], axis=0)
+
+    probs = projector.apply({"params": proj_params}, paired)
+
+    losses: Dict[str, jnp.ndarray] = {}
+    for name in feature_names:
+        p = probs[name]
+        p1, p2 = jnp.split(p, 2, axis=0)
+        if is_encoder[name]:
+            # [B, S, K] -> per-subhead global IID loss, averaged
+            per_subhead = jax.vmap(
+                lambda a, b: iid_loss(a, b)[0], in_axes=(1, 1)
+            )(p1, p2)
+            losses[name] = jnp.mean(per_subhead)
+        else:
+            padding, patch = loss_cfg[name]
+            losses[name] = iid_segmentation_small_patch_loss_subheads(
+                p1, p2, padding=padding, patch_size=patch, backend=backend
+            )
+    return losses
+
+
+def build_train_step(
+    model,
+    tx,
+    mode: str,
+    *,
+    num_classes: int,
+    feature_names: Sequence[str] = (),
+    feature_importance: Sequence[float] = (),
+    projector=None,
+    uda_criterion: str = "mse",
+    uda_weight: float = 0.0,
+    iic_weight: float = 0.0,
+    reg_weight: float = 0.0,
+    paddings=1,
+    patch_sizes=1024,
+    flip_threshold: float = 0.8,
+    backend: str = "auto",
+    jit: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Returns step(state, batch) -> (state, metrics).
+
+    batch: {"labeled_image" [Bl,H,W,1], "labeled_target" [Bl,H,W],
+            "unlabeled_image" [Bu,H,W,1]}  (device arrays, batch axis may be
+            sharded over the mesh 'data' axis).
+    """
+    assert mode in ("partial", "uda", "iic", "udaiic"), mode
+    needs_iic = mode in ("iic", "udaiic")
+    needs_uda = mode in ("uda", "udaiic")
+    if needs_iic:
+        assert projector is not None
+        dec_names = [n for n in feature_names if n not in ENCODER_NAMES]
+        paddings = _as_list(paddings, len(dec_names))
+        patch_sizes = _as_list(patch_sizes, len(dec_names))
+        importance = [float(x) for x in feature_importance]
+        importance = [x / sum(importance) for x in importance]
+
+    def consistency(p_tf_logits, p_logits_tf):
+        if uda_criterion == "mse":
+            return mse_consistency(p_tf_logits, p_logits_tf)
+        return kl_div(p_tf_logits, jax.lax.stop_gradient(p_logits_tf))
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        labeled_image = batch["labeled_image"]
+        labeled_target = batch["labeled_target"]
+        unlabeled_image = batch["unlabeled_image"]
+        n_labeled = labeled_image.shape[0]
+        n_unlabeled = unlabeled_image.shape[0]
+
+        new_rng, flip_key = jax.random.split(state.rng)
+        flip_mask = sample_flip_mask(flip_key, n_unlabeled, flip_threshold)
+        unlabeled_image_tf = apply_flips(unlabeled_image, flip_mask)
+
+        def loss_fn(params):
+            inputs = jnp.concatenate([labeled_image, unlabeled_image, unlabeled_image_tf], axis=0)
+            (logits, features), mutated = model.apply(
+                {"params": params["model"], "batch_stats": state.batch_stats},
+                inputs, train=True, return_features=True, mutable=["batch_stats"],
+            )
+            label_logits = logits[:n_labeled]
+            unlabel_logits = logits[n_labeled:n_labeled + n_unlabeled]
+            unlabel_tf_logits = logits[n_labeled + n_unlabeled:]
+            unlabel_logits_tf = apply_flips(unlabel_logits, flip_mask)
+
+            onehot = class2one_hot(labeled_target, num_classes, class_axis=-1)
+            sup_loss = kl_div(jax.nn.softmax(label_logits, axis=-1), onehot)
+
+            metrics: Dict[str, jnp.ndarray] = {"sup_loss": sup_loss}
+            reg_loss = jnp.zeros((), jnp.float32)
+            total_weight = reg_weight
+
+            if needs_uda:
+                uda_loss = consistency(
+                    jax.nn.softmax(unlabel_tf_logits, axis=-1),
+                    jax.nn.softmax(unlabel_logits_tf, axis=-1),
+                )
+                metrics["uda"] = uda_loss
+            if needs_iic:
+                iic_losses = _iic_regularization(
+                    projector, params["projector"], features, flip_mask,
+                    n_labeled, n_unlabeled, feature_names, paddings, patch_sizes,
+                    backend,
+                )
+                iic_loss_val = sum(
+                    w * iic_losses[n] for n, w in zip(feature_names, importance)
+                )
+                metrics["mi"] = -iic_loss_val
+                for n in feature_names:
+                    metrics[f"individual_mis/{n}"] = -iic_losses[n]
+
+            if mode == "uda":
+                reg_loss = uda_loss
+                total_weight = reg_weight
+            elif mode == "iic":
+                reg_loss = iic_loss_val
+                total_weight = reg_weight
+            elif mode == "udaiic":
+                reg_loss = uda_weight * uda_loss + iic_weight * iic_loss_val
+                total_weight = 1.0
+
+            metrics["reg_loss"] = reg_loss
+            total = sup_loss + total_weight * reg_loss
+            metrics["total_loss"] = total
+            return total, (mutated["batch_stats"], metrics, label_logits)
+
+        grads, (new_batch_stats, metrics, label_logits) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+
+        pred = jnp.argmax(label_logits, axis=-1)
+        inter, union = dice_stats(pred, labeled_target, num_classes)
+        metrics["sup_dice_inter"] = inter
+        metrics["sup_dice_union"] = union
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            rng=new_rng,
+        )
+        return new_state, metrics
+
+    if jit:
+        return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def build_eval_step(model, *, num_classes: int, jit: bool = True):
+    """Returns eval(params, batch_stats, image, target, mask) ->
+    {loss, inter [1,C], union [1,C]} — one padded patient volume per call,
+    dice I/U pooled over valid slices on device (the volume-dice semantics of
+    the reference's patient-batched EvalEpocher, semi_seg/epocher.py:36-73)."""
+
+    def evaluate(params, batch_stats, image, target, mask):
+        logits = model.apply(
+            {"params": params["model"], "batch_stats": batch_stats},
+            image, train=False,
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        onehot = class2one_hot(target, num_classes, class_axis=-1)
+        per_pixel = kl_div(probs, onehot, reduction="none")  # [P, H, W]
+        valid = mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(valid), 1.0) * per_pixel.shape[1] * per_pixel.shape[2]
+        loss = jnp.sum(per_pixel * valid[:, None, None]) / denom
+        pred = jnp.argmax(logits, axis=-1)
+        inter, union = dice_stats(pred, target, num_classes, mask=valid)
+        return {
+            "loss": loss,
+            "inter": jnp.sum(inter, axis=0, keepdims=True),
+            "union": jnp.sum(union, axis=0, keepdims=True),
+            "pred": pred,
+        }
+
+    if jit:
+        return jax.jit(evaluate)
+    return evaluate

@@ -1,0 +1,456 @@
+"""Trainer layer: experiment lifecycle (init -> epoch loop -> eval ->
+checkpoint) for the four semi-supervised modes.
+
+Parity targets: /root/reference/semi_seg/trainer.py:24-214 (SemiTrainer /
+UDATrainer / IICTrainer / UDAIICTrainer + trainer_zoos registry) over the
+framework base WHEEL::deepclustering2/trainer/_trainer.py:12-66 and
+_io.py:84-223. Same responsibilities: normalized feature importances,
+optimizer-by-name, warmup+cosine schedule, per-epoch val+test eval with the
+val DSC_mean driving best-checkpoint selection, Storage->csv + writer sinks,
+inference with PNG dumps + Hausdorff.
+
+TPU-native structure: the per-epoch "epocher" objects collapse into a jitted
+step function built once at init; the epoch loop just streams prefetched
+batches through it and defers metric host-syncs to epoch end.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from .. import PROJECT_PATH
+from ..models import ProjectorWrapper, UNet
+from ..models.unet import ENCODER_NAMES
+from ..parallel import make_mesh, prefetch_to_device, replicate_state, shard_batch
+from ..utils import (
+    AverageValueMeter,
+    MeterInterface,
+    MultipleAverageValueMeter,
+    Storage,
+    StorageIncomeDict,
+    SurfaceMeter,
+    UniversalDice,
+)
+from ..utils.general import ExceptionIgnorer
+from ..utils.writer import SummaryWriter
+from .checkpoints import BEST_NAME, LAST_NAME, load_checkpoint, save_checkpoint
+from .optim import build_optimizer, lr_at_epoch, set_learning_rate
+from .state import TrainState, init_train_state
+from .steps import build_eval_step, build_train_step
+
+
+def _combined_batches(labeled_loader, unlabeled_loader) -> Iterator[Dict[str, Any]]:
+    for lab, unlab in zip(labeled_loader, unlabeled_loader):
+        yield {
+            "labeled_image": lab["image"],
+            "labeled_target": lab["target"],
+            "unlabeled_image": unlab["image"],
+            "group": lab["group"],
+        }
+
+
+class SemiTrainer:
+    """'partial' mode: supervised-only on the labeled loader."""
+
+    RUN_DIR = str(Path(PROJECT_PATH) / "runs")
+    mode = "partial"
+
+    def __init__(
+        self,
+        *,
+        labeled_loader,
+        unlabeled_loader,
+        val_loader,
+        test_loader,
+        configuration: Dict[str, Any],
+        save_dir: str = "base",
+        max_epoch: int = 100,
+        num_batches: int = 100,
+        device: str = "tpu",
+        mesh=None,
+        crop_size: int = 224,
+        **kwargs,
+    ) -> None:
+        self._config = configuration
+        self._labeled_loader = labeled_loader
+        self._unlabeled_loader = unlabeled_loader
+        self._val_loader = val_loader
+        self._test_loader = test_loader
+        self._max_epoch = int(max_epoch)
+        self._num_batches = int(num_batches)
+        self._crop_size = crop_size
+        self._mesh = mesh
+        self._save_dir = str(Path(self.RUN_DIR) / save_dir)
+        Path(self._save_dir).mkdir(parents=True, exist_ok=True)
+        with open(Path(self._save_dir) / "config.yaml", "w") as f:
+            yaml.safe_dump(configuration, f, default_flow_style=False, sort_keys=False)
+
+        self._storage = Storage()
+        self._start_epoch = 0
+        self._cur_epoch = 0
+        self._best_score = -1.0
+
+    # --- init -----------------------------------------------------------
+    def init(self) -> None:
+        cfg = self._config
+        arch = cfg.get("Arch", {"input_dim": 1, "num_classes": 4})
+        self._num_classes = int(arch.get("num_classes", 4))
+        self._input_dim = int(arch.get("input_dim", 1))
+        precision = cfg.get("Precision", {}) or {}
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            precision.get("compute_dtype", "float32")
+        ]
+        self._model = UNet(input_dim=self._input_dim, num_classes=self._num_classes, dtype=dtype)
+
+        trainer_cfg = cfg.get("Trainer", {})
+        self._feature_names = list(trainer_cfg.get("feature_names", []))
+        importance = [float(x) for x in trainer_cfg.get(
+            "feature_importance", [1.0] * len(self._feature_names))]
+        total = sum(importance) or 1.0
+        self._feature_importance = [x / total for x in importance]
+        if self._feature_names:
+            assert len(self._feature_importance) == len(self._feature_names)
+
+        self._projector = None
+        self._step_kwargs: Dict[str, Any] = {}
+        self._build_components()
+
+        self._tx = build_optimizer(cfg["Optim"])
+        self._base_lr = float(cfg["Optim"].get("lr", 1e-3))
+        scheduler = cfg.get("Scheduler") or {}
+        self._sched_multiplier = float(scheduler.get("multiplier", 1.0)) if scheduler else None
+        self._sched_warmup = int(scheduler.get("warmup_max", 0)) if scheduler else None
+
+        self._state = init_train_state(
+            self._model,
+            self._tx,
+            (1, self._crop_size, self._crop_size, self._input_dim),
+            seed=int(cfg.get("RandomSeed", 10)),
+            projector=self._projector,
+            projector_feature_names=self._feature_names if self._projector else None,
+        )
+        self._state = replicate_state(self._state, self._mesh)
+
+        backend = cfg.get("Kernel", {}).get("backend", "auto") if cfg.get("Kernel") else "auto"
+        self._train_step = build_train_step(
+            self._model,
+            self._tx,
+            self.mode,
+            num_classes=self._num_classes,
+            feature_names=self._feature_names,
+            feature_importance=self._feature_importance,
+            projector=self._projector,
+            backend=backend,
+            **self._step_kwargs,
+        )
+        self._eval_step = build_eval_step(self._model, num_classes=self._num_classes)
+
+    def _build_components(self) -> None:
+        """Mode-specific wiring; base has no regularizer (reg_weight 0)."""
+        self._step_kwargs = dict(reg_weight=0.0)
+
+    def _lr_for_epoch(self, epoch: int) -> float:
+        if self._sched_multiplier is None:
+            return self._base_lr
+        return lr_at_epoch(
+            epoch,
+            self._base_lr,
+            multiplier=self._sched_multiplier,
+            warmup_max=self._sched_warmup,
+            max_epoch=self._max_epoch,
+        )
+
+    # --- meters ---------------------------------------------------------
+    def _configure_train_meters(self) -> MeterInterface:
+        meters = MeterInterface()
+        meters.register_meter("lr", AverageValueMeter())
+        meters.register_meter("sup_loss", AverageValueMeter())
+        meters.register_meter("reg_loss", AverageValueMeter())
+        meters.register_meter(
+            "sup_dice", UniversalDice(self._num_classes, list(range(1, self._num_classes)))
+        )
+        if self.mode in ("uda", "udaiic"):
+            meters.register_meter("uda", AverageValueMeter())
+        if self.mode in ("iic", "udaiic"):
+            meters.register_meter("mi", AverageValueMeter())
+            meters.register_meter("individual_mis", MultipleAverageValueMeter())
+        return meters
+
+    # --- epoch loops ----------------------------------------------------
+    def _run_epoch(self, epoch: int) -> Dict[str, Dict[str, float]]:
+        meters = self._configure_train_meters()
+        lr = self._lr_for_epoch(epoch)
+        set_learning_rate(self._state.opt_state, lr)
+        meters["lr"].add(lr)
+
+        host_iter = _combined_batches(self._labeled_loader, self._unlabeled_loader)
+        device_iter = prefetch_to_device(host_iter, self._mesh)
+
+        pending = []  # (metrics dict of device arrays, group names)
+        for _ in range(self._num_batches):
+            batch = next(device_iter)
+            groups = batch.pop("group")
+            self._state, metrics = self._train_step(self._state, batch)
+            pending.append((metrics, groups))
+
+        for metrics, groups in pending:  # single host sync at epoch end
+            metrics = jax.device_get(metrics)
+            meters["sup_loss"].add(float(metrics["sup_loss"]))
+            meters["reg_loss"].add(float(metrics["reg_loss"]))
+            meters["sup_dice"].add_stats(
+                np.asarray(metrics["sup_dice_inter"]),
+                np.asarray(metrics["sup_dice_union"]),
+                group_name=groups,
+            )
+            if "uda" in meters and "uda" in metrics:
+                meters["uda"].add(float(metrics["uda"]))
+            if "mi" in meters and "mi" in metrics:
+                meters["mi"].add(float(metrics["mi"]))
+                meters["individual_mis"].add(**{
+                    k.split("/", 1)[1]: float(v)
+                    for k, v in metrics.items() if k.startswith("individual_mis/")
+                })
+            if not np.isfinite(float(metrics["total_loss"])):
+                raise RuntimeError(
+                    f"non-finite loss at epoch {epoch}: {float(metrics['total_loss'])}"
+                )
+        return meters.tracking_status()
+
+    def _eval_epoch(self, loader) -> Tuple[Dict[str, Dict[str, float]], float]:
+        meters = MeterInterface()
+        meters.register_meter("loss", AverageValueMeter())
+        meters.register_meter(
+            "dice", UniversalDice(self._num_classes, list(range(1, self._num_classes)))
+        )
+        pending = []
+        for batch in loader:
+            device_batch = shard_batch(
+                {k: batch[k] for k in ("image", "target", "mask")}, self._mesh
+            )
+            out = self._eval_step(
+                self._state.params, self._state.batch_stats,
+                device_batch["image"], device_batch["target"], device_batch["mask"],
+            )
+            pending.append((out, batch["group"]))
+        for out, group in pending:
+            out = jax.device_get(out)
+            meters["loss"].add(float(out["loss"]))
+            meters["dice"].add_stats(
+                np.asarray(out["inter"]), np.asarray(out["union"]), group_name=group
+            )
+        report = meters.tracking_status()
+        return report, report["dice"]["DSC_mean"]
+
+    # --- training loop --------------------------------------------------
+    def start_training(self) -> float:
+        with SummaryWriter(self._save_dir) as writer:
+            for self._cur_epoch in range(self._start_epoch, self._max_epoch):
+                train_result = self._run_epoch(self._cur_epoch)
+                val_result, cur_score = self._eval_epoch(self._val_loader)
+                test_result, _ = self._eval_epoch(self._test_loader)
+                income = StorageIncomeDict(
+                    tra=train_result, val=val_result, test=test_result
+                )
+                self._storage.put_from_dict(income, self._cur_epoch)
+                writer.add_scalars_from_income_dict(income, self._cur_epoch)
+                self.save(cur_score)
+                self._storage.to_csv(self._save_dir)
+        return self._best_score
+
+    # --- checkpointing --------------------------------------------------
+    def _meta(self) -> Dict[str, Any]:
+        return {
+            "cur_epoch": self._cur_epoch,
+            "best_score": self._best_score,
+            "storage": self._storage.state_dict(),
+            "mode": self.mode,
+        }
+
+    def save(self, cur_score: float) -> None:
+        is_best = cur_score > self._best_score
+        if is_best:
+            self._best_score = float(cur_score)
+        save_checkpoint(Path(self._save_dir) / LAST_NAME, self._state, self._meta())
+        if is_best:
+            save_checkpoint(Path(self._save_dir) / BEST_NAME, self._state, self._meta())
+
+    def load_state_dict_from_path(self, path: str, strict: bool = True) -> None:
+        if strict:
+            self._state, meta = load_checkpoint(path, self._state)
+        else:
+            self._state, meta = self._lenient_load(path)
+        self._best_score = float(meta.get("best_score", -1.0))
+        self._cur_epoch = int(meta.get("cur_epoch", 0))
+        self._start_epoch = self._cur_epoch + 1
+        if "storage" in meta:
+            self._storage.load_state_dict(meta["storage"])
+        self._state = replicate_state(self._state, self._mesh)
+
+    def _lenient_load(self, path: str):
+        """strict=False: merge leaves by path where shapes match (the
+        reference tolerated missing keys when fine-tuning from a different
+        trainer's checkpoint, _io.py:170-171)."""
+        import json
+
+        from flax import serialization
+
+        p = Path(path)
+        if p.is_dir():
+            p = p / LAST_NAME
+        with open(p, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        flat_raw = _flatten_tree(raw)
+        template = jax.device_get(self._state)
+        state_dict = serialization.to_state_dict(template)
+        # overlay matching leaves onto the template structure (preserves
+        # empty-dict nodes that a flatten/unflatten round trip would drop)
+        for key, raw_val in flat_raw.items():
+            node = state_dict
+            ok = True
+            for part in key[:-1]:
+                if not isinstance(node, dict) or part not in node:
+                    ok = False
+                    break
+                node = node[part]
+            if not ok or not isinstance(node, dict) or key[-1] not in node:
+                continue
+            tpl_val = node[key[-1]]
+            if np.shape(raw_val) == np.shape(tpl_val):
+                node[key[-1]] = raw_val
+        state = serialization.from_state_dict(template, state_dict)
+        meta_path = p.with_suffix(".meta.json")
+        meta = {}
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+        return state, meta
+
+    # --- inference ------------------------------------------------------
+    def inference(self, checkpoint: Optional[str] = None) -> Tuple[Dict[str, Any], float]:
+        """Load best checkpoint and run the test loader with PNG dumps +
+        Hausdorff (reference InferenceEpocher, semi_seg/epocher.py:76-107)."""
+        path = checkpoint or str(Path(self._save_dir) / BEST_NAME)
+        p = Path(path)
+        if p.is_dir():
+            p = p / BEST_NAME
+        self._state, _ = load_checkpoint(p, self._state)
+        self._state = replicate_state(self._state, self._mesh)
+
+        meters = MeterInterface()
+        meters.register_meter("loss", AverageValueMeter())
+        meters.register_meter(
+            "dice", UniversalDice(self._num_classes, list(range(1, self._num_classes)))
+        )
+        meters.register_meter(
+            "hd", SurfaceMeter(self._num_classes, list(range(1, self._num_classes)))
+        )
+        from ..utils.imageio import write_img_target, write_predict
+
+        for batch in self._test_loader:
+            device_batch = shard_batch(
+                {k: batch[k] for k in ("image", "target", "mask")}, self._mesh
+            )
+            out = self._eval_step(
+                self._state.params, self._state.batch_stats,
+                device_batch["image"], device_batch["target"], device_batch["mask"],
+            )
+            out = jax.device_get(out)
+            meters["loss"].add(float(out["loss"]))
+            meters["dice"].add_stats(
+                np.asarray(out["inter"]), np.asarray(out["union"]), group_name=batch["group"]
+            )
+            n_valid = int(np.sum(batch["mask"]))
+            pred = np.asarray(out["pred"])[:n_valid]
+            target = batch["target"][:n_valid]
+            with ExceptionIgnorer(RuntimeError):
+                meters["hd"].add(pred, target)
+            write_img_target(
+                batch["image"][:n_valid], target, self._save_dir, batch["filename"]
+            )
+            write_predict(pred, self._save_dir, batch["filename"])
+        report = meters.tracking_status()
+        return report, report["dice"]["DSC_mean"]
+
+
+def _flatten_tree(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, prefix + (str(k),)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+class UDATrainer(SemiTrainer):
+    mode = "uda"
+
+    def _build_components(self) -> None:
+        cfg = self._config["UDARegCriterion"]
+        assert cfg["name"] in ("mse", "kl"), cfg["name"]
+        self._step_kwargs = dict(
+            uda_criterion=cfg["name"],
+            reg_weight=float(cfg["weight"]),
+        )
+
+
+def _make_projector(config: Dict[str, Any], feature_names) -> ProjectorWrapper:
+    enc = config["EncoderParams"]
+    dec = config["DecoderParams"]
+
+    def per_position(key, default):
+        return [
+            (enc if name in ENCODER_NAMES else dec).get(key, default)
+            for name in feature_names
+        ]
+
+    return ProjectorWrapper(
+        feature_names=tuple(feature_names),
+        num_clusters=per_position("num_clusters", 10),
+        num_subheads=per_position("num_subheads", 5),
+        head_types=per_position("head_types", "linear"),
+        normalize=per_position("normalize", False),
+    )
+
+
+class IICTrainer(SemiTrainer):
+    mode = "iic"
+
+    def _build_components(self) -> None:
+        cfg = self._config["IICRegParameters"]
+        self._projector = _make_projector(cfg, self._feature_names)
+        loss_cfg = cfg.get("LossParams", {})
+        self._step_kwargs = dict(
+            reg_weight=float(cfg["weight"]),
+            paddings=loss_cfg.get("paddings", 1),
+            patch_sizes=loss_cfg.get("patch_sizes", 1024),
+        )
+
+
+class UDAIICTrainer(IICTrainer):
+    mode = "udaiic"
+
+    def _build_components(self) -> None:
+        super()._build_components()
+        iic_weight = self._step_kwargs.pop("reg_weight")
+        uda_cfg = self._config["UDARegCriterion"]
+        self._step_kwargs.update(
+            uda_criterion=uda_cfg["name"],
+            uda_weight=float(uda_cfg["weight"]),
+            iic_weight=iic_weight,
+            reg_weight=1.0,
+        )
+
+
+trainer_zoos = {
+    "partial": SemiTrainer,
+    "uda": UDATrainer,
+    "iic": IICTrainer,
+    "udaiic": UDAIICTrainer,
+}

@@ -1,0 +1,23 @@
+from .unet import UNet, UNET_DIMENSIONS, ENCODER_NAMES, DECODER_NAMES, COMPONENT_NAMES
+from .heads import (
+    ClusterHead,
+    LocalClusterHead,
+    ProjectionHead,
+    LocalProjectionHead,
+    ProjectorWrapper,
+    split_feature_names,
+)
+
+__all__ = [
+    "UNet",
+    "UNET_DIMENSIONS",
+    "ENCODER_NAMES",
+    "DECODER_NAMES",
+    "COMPONENT_NAMES",
+    "ClusterHead",
+    "LocalClusterHead",
+    "ProjectionHead",
+    "LocalProjectionHead",
+    "ProjectorWrapper",
+    "split_feature_names",
+]

@@ -1,0 +1,189 @@
+"""Cluster / projection heads over U-Net feature positions.
+
+Capability parity with /root/reference/contrastyou/trainer/_utils.py:44-168
+(ClusterHead, LocalClusterHead, ProjectionHead, LocalProjectionHead) and the
+multi-position wrappers of /root/reference/semi_seg/_utils.py:81-224.
+
+TPU-first departures:
+- Subheads are a single batched parameter tensor, evaluated as ONE matmul
+  (global) or ONE 1x1 conv (local) producing [.., S, K]; the reference looped
+  a Python list of nn.Sequential subheads. For 'linear' heads this is
+  mathematically identical (concatenated output channels) and keeps the MXU
+  busy with one big contraction instead of 5 tiny ones.
+- NHWC layout; simplex outputs have K on the LAST axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .unet import DECODER_NAMES, ENCODER_NAMES, UNET_DIMENSIONS
+
+
+def _dense_init():
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def split_feature_names(feature_names: Sequence[str]) -> Tuple[List[str], List[str]]:
+    """Partition feature names into (encoder, decoder) in reference order
+    (semi_seg/_utils.py:18-25)."""
+    enc = [f for f in feature_names if f in ENCODER_NAMES]
+    dec = [f for f in feature_names if f in DECODER_NAMES or f in ("Up_conv5", "Up_conv4", "Up_conv3", "Up_conv2")]
+    assert len(enc) + len(dec) == len(feature_names), feature_names
+    return enc, dec
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+class ClusterHead(nn.Module):
+    """Global (encoder) cluster head: avg-pool -> linear/mlp -> [normalize] ->
+    softmax/T over K clusters, S subheads batched. Output [B, S, K] simplex
+    on the last axis."""
+
+    num_clusters: int = 10
+    num_subheads: int = 5
+    head_type: str = "linear"
+    T: float = 1.0
+    normalize: bool = False
+    interm_dim: int = 128
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        assert features.ndim == 4, features.shape  # [B, H, W, C]
+        x = jnp.mean(features.astype(jnp.float32), axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
+        S, K = self.num_subheads, self.num_clusters
+        if self.head_type == "linear":
+            out = nn.Dense(S * K, kernel_init=_dense_init(), name="linear")(x)
+            out = out.reshape(x.shape[0], S, K)
+        else:  # mlp: per-subhead hidden layer (subheads share nothing)
+            dim = x.shape[-1]
+            w1 = self.param("w1", _dense_init(), (S, dim, self.interm_dim))
+            b1 = self.param("b1", nn.initializers.zeros, (S, self.interm_dim))
+            w2 = self.param("w2", _dense_init(), (S, self.interm_dim, K))
+            b2 = self.param("b2", nn.initializers.zeros, (S, K))
+            h = jnp.einsum("bd,sdi->bsi", x, w1) + b1
+            h = nn.leaky_relu(h, 0.01)
+            out = jnp.einsum("bsi,sik->bsk", h, w2) + b2
+        if self.normalize:
+            out = _l2_normalize(out, axis=-1)
+        return nn.softmax(out / self.T, axis=-1)
+
+
+class LocalClusterHead(nn.Module):
+    """Per-pixel (decoder) cluster head: 1x1 conv (or conv-LReLU-conv) ->
+    [normalize] -> softmax/T, preserving HxW. Output [B, H, W, S, K]."""
+
+    num_clusters: int = 10
+    num_subheads: int = 5
+    head_type: str = "linear"
+    T: float = 1.0
+    normalize: bool = False
+    interm_dim: int = 64
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        assert features.ndim == 4, features.shape
+        x = features.astype(jnp.float32)
+        S, K = self.num_subheads, self.num_clusters
+        B, H, W, _ = x.shape
+        if self.head_type == "linear":
+            out = nn.Conv(S * K, (1, 1), kernel_init=_dense_init(), name="conv")(x)
+        else:
+            dim = x.shape[-1]
+            w1 = self.param("w1", _dense_init(), (S, dim, self.interm_dim))
+            b1 = self.param("b1", nn.initializers.zeros, (S, self.interm_dim))
+            w2 = self.param("w2", _dense_init(), (S, self.interm_dim, K))
+            b2 = self.param("b2", nn.initializers.zeros, (S, K))
+            h = jnp.einsum("bhwd,sdi->bhwsi", x, w1) + b1
+            h = nn.leaky_relu(h, 0.01)
+            out = jnp.einsum("bhwsi,sik->bhwsk", h, w2) + b2
+            out = out.reshape(B, H, W, S * K)
+        out = out.reshape(B, H, W, S, K)
+        if self.normalize:
+            out = _l2_normalize(out, axis=-1)
+        return nn.softmax(out / self.T, axis=-1)
+
+
+class ProjectionHead(nn.Module):
+    """Global contrastive projection: pool -> flatten -> linear/mlp -> D."""
+
+    output_dim: int = 256
+    interm_dim: int = 256
+    head_type: str = "mlp"
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.mean(features.astype(jnp.float32), axis=(1, 2))
+        if self.head_type == "mlp":
+            x = nn.Dense(self.interm_dim, kernel_init=_dense_init())(x)
+            x = nn.leaky_relu(x, 0.01)
+        return nn.Dense(self.output_dim, kernel_init=_dense_init())(x)
+
+
+class LocalProjectionHead(nn.Module):
+    """Local contrastive projection: 3x3 conv(s) -> adaptive max-pool to
+    ``output_size``. Output [B, oh, ow, C_out]."""
+
+    head_type: str = "mlp"
+    output_size: Tuple[int, int] = (4, 4)
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        x = features.astype(jnp.float32)
+        x = nn.Conv(64, (3, 3), padding=1, kernel_init=_dense_init())(x)
+        if self.head_type == "mlp":
+            x = nn.leaky_relu(x, 0.01)
+            x = nn.Conv(32, (3, 3), padding=1, kernel_init=_dense_init())(x)
+        # adaptive max pool to output_size
+        B, H, W, C = x.shape
+        oh, ow = self.output_size
+        assert H % oh == 0 and W % ow == 0, (H, W, self.output_size)
+        x = x.reshape(B, oh, H // oh, ow, W // ow, C)
+        return jnp.max(x, axis=(2, 4))
+
+
+class ProjectorWrapper(nn.Module):
+    """Multi-position cluster-head bundle keyed by UNet feature name.
+
+    Encoder positions get ClusterHead (global), decoder positions get
+    LocalClusterHead (per-pixel), mirroring ProjectorWrapper.init_encoder/
+    init_decoder (semi_seg/_utils.py:137-186). Params for head config may be
+    scalars (broadcast) or per-position lists (reference ``_nlist``).
+    """
+
+    feature_names: Tuple[str, ...]
+    num_clusters: Any = 20
+    num_subheads: Any = 5
+    head_types: Any = "linear"
+    normalize: Any = False
+
+    def _cfg(self, value, idx: int):
+        if isinstance(value, (list, tuple)):
+            assert len(value) == len(self.feature_names)
+            return value[idx]
+        return value
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """features: dict of name -> feature map [B, H, W, C]. Returns dict of
+        name -> simplex probs ([B, S, K] for encoder, [B, H, W, S, K] for
+        decoder positions)."""
+        out: Dict[str, jnp.ndarray] = {}
+        for i, name in enumerate(self.feature_names):
+            kwargs = dict(
+                num_clusters=self._cfg(self.num_clusters, i),
+                num_subheads=self._cfg(self.num_subheads, i),
+                head_type=self._cfg(self.head_types, i),
+                normalize=self._cfg(self.normalize, i),
+            )
+            if name in ENCODER_NAMES:
+                out[name] = ClusterHead(**kwargs, name=name)(features[name])
+            else:
+                out[name] = LocalClusterHead(**kwargs, name=name)(features[name])
+        return out

@@ -1,0 +1,161 @@
+"""2D U-Net with named feature taps, in flax.linen (NHWC, TPU layout).
+
+Capability parity with the reference UNet (/root/reference/contrastyou/arch/
+unet.py:10-200): 4-down/4-up, channels 16..256, each block =
+2x(Conv3x3 no-bias + BN + ReLU); up = nearest-upsample(x2) + Conv3x3 + BN +
+ReLU; skip concat; 1x1 head to num_classes. Feature positions keep the
+reference names (Conv1..Conv5, Up_conv5..Up_conv2) so the
+``Trainer.feature_names`` config surface stays valid.
+
+TPU-first departures from the reference:
+- NHWC layout (XLA's preferred conv layout on TPU) instead of NCHW.
+- Features are *returned* from the pure forward (a dict tap), replacing the
+  reference's stateful forward hooks (semi_seg/_utils.py:38-78) — hooks don't
+  exist in a traced functional graph, and returning them lets XLA DCE unused
+  taps per trainer mode.
+- Configurable compute dtype (bfloat16 activations/weights-cast) with fp32
+  BatchNorm statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+UNET_DIMENSIONS: Dict[str, int] = {
+    "Conv1": 16,
+    "Conv2": 32,
+    "Conv3": 64,
+    "Conv4": 128,
+    "Conv5": 256,
+    "Up_conv5": 128,
+    "Up_conv4": 64,
+    "Up_conv3": 32,
+    "Up_conv2": 16,
+}
+
+ENCODER_NAMES = ["Conv1", "Conv2", "Conv3", "Conv4", "Conv5"]
+DECODER_NAMES = ["Up5", "Up_conv5", "Up4", "Up_conv4", "Up3", "Up_conv3", "Up2", "Up_conv2", "DeConv_1x1"]
+COMPONENT_NAMES = ENCODER_NAMES + DECODER_NAMES
+
+# Feature positions exposed to trainers (tap-able outputs).
+TAP_NAMES = ["Conv1", "Conv2", "Conv3", "Conv4", "Conv5",
+             "Up_conv5", "Up_conv4", "Up_conv3", "Up_conv2"]
+
+
+def _conv_init(dtype):
+    # Match torch Conv2d default (kaiming_uniform with a=sqrt(5)) in spirit:
+    # variance-scaling uniform on fan_in.
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform", dtype=jnp.float32)
+
+
+class ConvBlock(nn.Module):
+    """2x (Conv3x3 no-bias -> BN -> ReLU)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        for i in range(2):
+            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, kernel_init=_conv_init(self.dtype),
+                        name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class UpConv(nn.Module):
+    """Nearest-neighbor upsample x2 -> Conv3x3 -> BN -> ReLU."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, kernel_init=_conv_init(self.dtype), name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        return nn.relu(x)
+
+
+class UNet(nn.Module):
+    input_dim: int = 1
+    num_classes: int = 4
+    dtype: Any = jnp.float32
+
+    dimension_dict = UNET_DIMENSIONS
+
+    @property
+    def encoder_names(self):
+        return list(ENCODER_NAMES)
+
+    @property
+    def decoder_names(self):
+        return list(DECODER_NAMES)
+
+    @property
+    def component_names(self):
+        return list(COMPONENT_NAMES)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        return_features: bool = False,
+    ):
+        """x: [B, H, W, input_dim] (NHWC). Returns logits [B, H, W, C] in
+        fp32 and, when return_features, a dict of the nine named taps."""
+        x = x.astype(self.dtype)
+        e1 = ConvBlock(16, self.dtype, name="Conv1")(x, train=train)
+        e2 = ConvBlock(32, self.dtype, name="Conv2")(nn.max_pool(e1, (2, 2), (2, 2)), train=train)
+        e3 = ConvBlock(64, self.dtype, name="Conv3")(nn.max_pool(e2, (2, 2), (2, 2)), train=train)
+        e4 = ConvBlock(128, self.dtype, name="Conv4")(nn.max_pool(e3, (2, 2), (2, 2)), train=train)
+        e5 = ConvBlock(256, self.dtype, name="Conv5")(nn.max_pool(e4, (2, 2), (2, 2)), train=train)
+
+        d5 = UpConv(128, self.dtype, name="Up5")(e5, train=train)
+        d5 = ConvBlock(128, self.dtype, name="Up_conv5")(jnp.concatenate([e4, d5], axis=-1), train=train)
+
+        d4 = UpConv(64, self.dtype, name="Up4")(d5, train=train)
+        d4 = ConvBlock(64, self.dtype, name="Up_conv4")(jnp.concatenate([e3, d4], axis=-1), train=train)
+
+        d3 = UpConv(32, self.dtype, name="Up3")(d4, train=train)
+        d3 = ConvBlock(32, self.dtype, name="Up_conv3")(jnp.concatenate([e2, d3], axis=-1), train=train)
+
+        d2 = UpConv(16, self.dtype, name="Up2")(d3, train=train)
+        d2 = ConvBlock(16, self.dtype, name="Up_conv2")(jnp.concatenate([e1, d2], axis=-1), train=train)
+
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
+                         kernel_init=_conv_init(self.dtype), name="DeConv_1x1")(d2)
+        logits = logits.astype(jnp.float32)
+
+        if return_features:
+            features = {
+                "Conv1": e1, "Conv2": e2, "Conv3": e3, "Conv4": e4, "Conv5": e5,
+                "Up_conv5": d5, "Up_conv4": d4, "Up_conv3": d3, "Up_conv2": d2,
+            }
+            return logits, features
+        return logits
+
+
+def component_param_filter(names: Sequence[str]):
+    """Path-filter for freezing reference-named components
+    (mirrors UNet.enable_grad(from_, util), unet.py:135-182): returns a
+    predicate over flax param paths that is True when the path belongs to one
+    of ``names``."""
+    names = set(names)
+
+    def predicate(path: Tuple[str, ...]) -> bool:
+        return len(path) > 0 and path[0] in names
+
+    return predicate

@@ -1,0 +1,238 @@
+"""Local (spatially displaced) IIC segmentation MI loss.
+
+Parity target: /root/reference/contrastyou/losses/iic_loss.py:97-189
+(IIDSegmentationLoss + IIDSegmentationSmallPathLoss + patch_generator).
+
+The reference computes the K x K x T x T displaced joint with
+``F.conv2d(x_out.permute(1,0,2,3), weight=x_tf_out.permute(1,0,2,3))`` —
+treating clusters as conv batch/filters with an HxW-sized kernel. That trick
+maps terribly onto the TPU MXU (C=20 "batch", giant kernel). Here the joint is
+expressed TPU-first:
+
+  J[dy, dx, k1, k2] = sum_{b,y,x} x[b, y+dy, x+dx, k1] * x_tf[b, y, x, k2]
+
+as (2p+1)^2 shifted-slice contractions (``displaced_joint_xla``, pure XLA
+dot_generals) or as a single fused Pallas kernel that reads the feature maps
+once (``ops.pallas.mi_joint``, used when backend='pallas'/'auto' on TPU).
+
+Layout: inputs are [B, H, W, K] simplex maps (K last); an optional leading
+subhead axis [S, B, H, W, K] is vmapped. The joint post-processing
+(min-subtraction, per-displacement normalization, symmetrization, MI) is
+cheap ((2p+1)^2 * K^2 elements) and stays in plain jnp, matching the
+reference formula exactly (iic_loss.py:124-148).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def displaced_joint_xla(x: jnp.ndarray, x_tf: jnp.ndarray, padding: int) -> jnp.ndarray:
+    """Raw displaced correlation sums, shape [T, T, K, K] with T = 2p+1.
+
+    J[p+dy, p+dx, k1, k2] = sum_{b,y,x} x[b, y+dy, x+dx, k1] * x_tf[b, y, x, k2]
+    with zero contribution outside the image (the conv zero-padding semantics).
+    """
+    assert x.ndim == 4 and x.shape == x_tf.shape, (x.shape, x_tf.shape)
+    B, H, W, K = x.shape
+    p = padding
+    rows = []
+    for dy in range(-p, p + 1):
+        cols = []
+        y0, y1 = max(0, -dy), min(H, H - dy)
+        for dx in range(-p, p + 1):
+            x0, x1 = max(0, -dx), min(W, W - dx)
+            a = jax.lax.slice(x, (0, y0 + dy, x0 + dx, 0), (B, y1 + dy, x1 + dx, K))
+            b = jax.lax.slice(x_tf, (0, y0, x0, 0), (B, y1, x1, K))
+            j = jnp.einsum(
+                "bhwk,bhwl->kl",
+                a.astype(jnp.float32),
+                b.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cols.append(j)
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)  # [T, T, K, K]
+
+
+def displaced_joint(
+    x: jnp.ndarray, x_tf: jnp.ndarray, padding: int, backend: str = "auto"
+) -> jnp.ndarray:
+    """Dispatch between the XLA reference path and the fused Pallas kernel."""
+    if backend == "xla":
+        return displaced_joint_xla(x, x_tf, padding)
+    if backend in ("pallas", "auto"):
+        try:
+            from .pallas.mi_joint import displaced_joint_pallas
+
+            return displaced_joint_pallas(x, x_tf, padding)
+        except Exception:
+            if backend == "pallas":
+                raise
+            return displaced_joint_xla(x, x_tf, padding)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def mi_from_joint(joint: jnp.ndarray, lamb: float = 1.0) -> jnp.ndarray:
+    """Min-subtract + normalize + symmetrize + negative-MI, per displacement.
+
+    joint: [T, T, K, K] raw sums. Follows iic_loss.py:124-148 exactly:
+    global min subtraction (detached), per-(t1,t2) normalization over both
+    cluster axes, k-symmetrization, then
+    loss = sum(-P*(log P - lamb log Pi - lamb log Pj)) / T^2.
+    """
+    T = joint.shape[0]
+    k = joint.shape[-1]
+    p = joint - jax.lax.stop_gradient(jnp.min(joint)) + 1e-16
+    p = p / jnp.sum(p, axis=(2, 3), keepdims=True)
+    p = (p + jnp.swapaxes(p, 2, 3)) / 2.0
+    p_i = jnp.sum(p, axis=2, keepdims=True)  # marginal over k1 -> [T,T,1,K]
+    p_j = jnp.sum(p, axis=3, keepdims=True)  # marginal over k2 -> [T,T,K,1]
+    log_p = jnp.log(p + 1e-16)
+    log_pi = jnp.log(jnp.broadcast_to(p_i, p.shape) + 1e-16)
+    log_pj = jnp.log(jnp.broadcast_to(p_j, p.shape) + 1e-16)
+    loss = -p * (log_p - lamb * log_pi - lamb * log_pj)
+    return jnp.sum(loss) / (T * T)
+
+
+def iid_segmentation_loss(
+    x_out: jnp.ndarray,
+    x_tf_out: jnp.ndarray,
+    padding: int = 7,
+    lamb: float = 1.0,
+    mask: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Displaced-MI loss over per-pixel cluster simplexes [B, H, W, K]."""
+    if mask is not None:
+        mask = jax.lax.stop_gradient(mask)
+        x_out = x_out * mask
+        x_tf_out = x_tf_out * mask
+    joint = displaced_joint(x_out, x_tf_out, padding, backend=backend)
+    return mi_from_joint(joint, lamb=lamb)
+
+
+def _tile_offsets(size: int, patch: int, step: int) -> Tuple[int, ...]:
+    """Reference patch_generator offsets (iic_loss.py:152-161): arange(0,
+    size-patch, step) plus max(size-patch, 0)."""
+    offsets = list(range(0, max(size - patch, 0), step))
+    offsets.append(max(size - patch, 0))
+    return tuple(offsets)
+
+
+def iid_segmentation_small_patch_loss(
+    x_out: jnp.ndarray,
+    x_tf_out: jnp.ndarray,
+    padding: int = 7,
+    patch_size: int = 32,
+    lamb: float = 1.0,
+    mask: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Tile the maps (patch, stride=patch//2) and average the displaced-MI
+    loss per tile. With patch_size >= H (the headline config's 1024) this
+    degenerates to a single full-map tile, as in the reference."""
+    assert x_out.shape == x_tf_out.shape
+    B, H, W, K = x_out.shape
+    ph, pw = min(patch_size, H), min(patch_size, W)
+    step = max(patch_size // 2, 1)
+    losses = []
+    for hy in _tile_offsets(H, patch_size, step):
+        for wx in _tile_offsets(W, patch_size, step):
+            sl = (slice(None), slice(hy, hy + ph), slice(wx, wx + pw), slice(None))
+            m = None if mask is None else mask[sl]
+            losses.append(
+                iid_segmentation_loss(
+                    x_out[sl], x_tf_out[sl], padding=padding, lamb=lamb, mask=m, backend=backend
+                )
+            )
+    return sum(losses) / len(losses)
+
+
+def displaced_joint_xla_subheads(x: jnp.ndarray, x_tf: jnp.ndarray, padding: int) -> jnp.ndarray:
+    """Subhead-batched displaced joint: x, x_tf [B, H, W, S, K] ->
+    [T, T, S, K, K]. All S subheads share one contraction per displacement
+    (einsum 'bhwsk,bhwsl->skl'), keeping the MXU fed instead of S tiny calls."""
+    assert x.ndim == 5 and x.shape == x_tf.shape, (x.shape, x_tf.shape)
+    B, H, W, S, K = x.shape
+    p = padding
+    rows = []
+    for dy in range(-p, p + 1):
+        cols = []
+        y0, y1 = max(0, -dy), min(H, H - dy)
+        for dx in range(-p, p + 1):
+            x0, x1 = max(0, -dx), min(W, W - dx)
+            a = jax.lax.slice(x, (0, y0 + dy, x0 + dx, 0, 0), (B, y1 + dy, x1 + dx, S, K))
+            b = jax.lax.slice(x_tf, (0, y0, x0, 0, 0), (B, y1, x1, S, K))
+            j = jnp.einsum(
+                "bhwsk,bhwsl->skl",
+                a.astype(jnp.float32),
+                b.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cols.append(j)
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)  # [T, T, S, K, K]
+
+
+def iid_segmentation_loss_subheads(
+    x_out: jnp.ndarray,
+    x_tf_out: jnp.ndarray,
+    padding: int,
+    lamb: float = 1.0,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Mean over subheads of the displaced-MI loss; inputs [B, H, W, S, K]
+    (reference: per-subhead criterion then average_iter,
+    semi_seg/epocher.py:274-275)."""
+    if backend in ("pallas", "auto"):
+        try:
+            from .pallas.mi_joint import displaced_joint_pallas_subheads
+
+            joint = displaced_joint_pallas_subheads(x_out, x_tf_out, padding)
+        except Exception:
+            if backend == "pallas":
+                raise
+            joint = displaced_joint_xla_subheads(x_out, x_tf_out, padding)
+    else:
+        joint = displaced_joint_xla_subheads(x_out, x_tf_out, padding)
+    per_subhead = jax.vmap(lambda j: mi_from_joint(j, lamb), in_axes=2)(joint)  # [S]
+    return jnp.mean(per_subhead)
+
+
+def iid_segmentation_small_patch_loss_subheads(
+    x_out: jnp.ndarray,
+    x_tf_out: jnp.ndarray,
+    padding: int,
+    patch_size: int,
+    lamb: float = 1.0,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Tiled variant over [B, H, W, S, K]; average over tiles of the
+    per-tile subhead-mean loss."""
+    assert x_out.ndim == 5 and x_out.shape == x_tf_out.shape
+    B, H, W, S, K = x_out.shape
+    ph, pw = min(patch_size, H), min(patch_size, W)
+    step = max(patch_size // 2, 1)
+    losses = []
+    for hy in _tile_offsets(H, patch_size, step):
+        for wx in _tile_offsets(W, patch_size, step):
+            sl = (slice(None), slice(hy, hy + ph), slice(wx, wx + pw))
+            losses.append(
+                iid_segmentation_loss_subheads(
+                    x_out[sl], x_tf_out[sl], padding=padding, lamb=lamb, backend=backend
+                )
+            )
+    return sum(losses) / len(losses)
+
+
+# Convenience: subhead-leading vmap form ([S, B, H, W, K]).
+displaced_joint_subheads = jax.vmap(
+    functools.partial(displaced_joint_xla), in_axes=(0, 0, None)
+)

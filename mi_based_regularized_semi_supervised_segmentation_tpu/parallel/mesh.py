@@ -1,0 +1,107 @@
+"""Device mesh + shardings: data parallelism over ICI via jax.sharding.
+
+The reference had NO distributed path (single CUDA device, SURVEY §2.9);
+parallelism here is a new first-class axis. Design: a 1-D (or 2-D) mesh with
+a ``data`` axis; the global [B, H, W, C] batch is sharded on axis 0; params/
+state are replicated. Everything runs under plain jit — XLA's SPMD
+partitioner inserts the all-reduces for gradients and the cross-replica sums
+for BatchNorm statistics, so sharded numerics match single-device numerics
+exactly (global batch stats, global loss means).
+
+An optional ``space`` mesh axis spatially shards the 224x224 activations
+(XLA handles conv halo exchange); useful headroom if per-device batch ever
+hits 1.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    data_axis: str = "data",
+    space_axis: Optional[str] = None,
+    space_size: int = 1,
+) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if space_axis is not None and space_size > 1:
+        assert n % space_size == 0, (n, space_size)
+        return Mesh(devices.reshape(n // space_size, space_size), (data_axis, space_axis))
+    return Mesh(devices, (data_axis,))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data",
+                   space_axis: Optional[str] = None) -> NamedSharding:
+    """Batch on the data axis; optionally H on the space axis."""
+    if space_axis is not None and space_axis in mesh.axis_names:
+        return NamedSharding(mesh, P(data_axis, space_axis))
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh],
+                data_axis: str = "data") -> Dict[str, Any]:
+    """Device-put array values of a host batch, sharded on axis 0. Non-array
+    values (filenames, groups) pass through untouched."""
+    out: Dict[str, Any] = {}
+    if mesh is None:
+        for k, v in batch.items():
+            out[k] = jax.device_put(v) if isinstance(v, np.ndarray) else v
+        return out
+    sharding = NamedSharding(mesh, P(data_axis))
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1:
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate_state(state, mesh: Optional[Mesh]):
+    if mesh is None:
+        return state
+    return jax.device_put(state, replicate_sharding(mesh))
+
+
+def prefetch_to_device(
+    host_iter: Iterable[Dict[str, Any]],
+    mesh: Optional[Mesh] = None,
+    depth: int = 2,
+) -> Iterator[Dict[str, Any]]:
+    """Background-thread prefetch: host augmentation + H2D transfer overlap
+    with device compute (replaces the reference's 4-process pinned-memory
+    DataLoader workers)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for item in host_iter:
+                if stop.is_set():
+                    return
+                q.put(shard_batch(item, mesh))
+        finally:
+            q.put(None)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()

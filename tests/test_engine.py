@@ -1,0 +1,196 @@
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+    build_optimizer,
+    lr_at_epoch,
+    set_learning_rate,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.engine.state import (
+    init_train_state,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.engine.steps import (
+    build_eval_step,
+    build_train_step,
+    dice_stats,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.models import (
+    ProjectorWrapper,
+    UNet,
+)
+
+
+def test_lr_schedule_reference_table():
+    """base 1e-7, x400 over 10 epochs, cosine T_max=90 to 1e-7
+    (semi_seg/trainer.py:52-65)."""
+    base, mult, warm, maxe = 1e-7, 400, 10, 100
+    assert np.isclose(lr_at_epoch(0, base, mult, warm, maxe), 1e-7)
+    # linear ramp: epoch 5 -> base*(399*5/10+1)
+    assert np.isclose(lr_at_epoch(5, base, mult, warm, maxe), base * (399 * 0.5 + 1))
+    # peak at warmup end, held one epoch by the torch handover
+    assert np.isclose(lr_at_epoch(10, base, mult, warm, maxe), 4e-5)
+    assert np.isclose(lr_at_epoch(11, base, mult, warm, maxe), 4e-5)
+    # monotone decay after
+    lrs = [lr_at_epoch(e, base, mult, warm, maxe) for e in range(11, 100)]
+    assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+    # half-way down at t = T_max/2
+    e_mid = 11 + 45
+    expected = 1e-7 + (4e-5 - 1e-7) * (1 + math.cos(math.pi * 0.5)) / 2
+    assert np.isclose(lr_at_epoch(e_mid, base, mult, warm, maxe), expected)
+
+
+def test_optimizer_torch_adam_semantics():
+    """weight_decay added to grad BEFORE adam (torch Adam), not decoupled."""
+    tx = build_optimizer({"name": "Adam", "lr": 0.1, "weight_decay": 0.5})
+    params = {"w": jnp.asarray(2.0)}
+    state = tx.init(params)
+    grads = {"w": jnp.asarray(0.0)}  # pure decay path
+    updates, _ = tx.update(grads, state, params)
+    # effective grad = 0 + 0.5*2 = 1.0 -> adam step ~ -lr * 1/(sqrt(1)+eps)
+    assert float(updates["w"]) < 0
+    assert np.isclose(float(updates["w"]), -0.1, atol=1e-3)
+
+
+def test_set_learning_rate_no_recompile():
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+    set_learning_rate(state, 5e-4)
+    updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
+    assert np.isclose(float(updates["w"][0]), -5e-4, rtol=1e-2)
+
+
+def test_dice_stats_matches_numpy(rng):
+    pred = jnp.asarray(rng.integers(0, 3, (4, 8, 8)))
+    tgt = jnp.asarray(rng.integers(0, 3, (4, 8, 8)))
+    inter, union = dice_stats(pred, tgt, 3)
+    p, t = np.asarray(pred), np.asarray(tgt)
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(inter[:, c]), ((p == c) & (t == c)).sum((1, 2))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(union[:, c]), (p == c).sum((1, 2)) + (t == c).sum((1, 2))
+        )
+
+
+FEATURES = ("Conv5", "Up_conv3", "Up_conv2")
+
+
+def _make_setup(mode, crop=32, num_classes=3):
+    model = UNet(input_dim=1, num_classes=num_classes)
+    projector = None
+    if mode in ("iic", "udaiic"):
+        projector = ProjectorWrapper(
+            feature_names=FEATURES, num_clusters=5, num_subheads=2,
+            head_types="linear", normalize=False,
+        )
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(
+        model, tx, (1, crop, crop, 1), seed=0,
+        projector=projector,
+        projector_feature_names=FEATURES if projector else None,
+    )
+    kwargs = {}
+    if mode == "uda":
+        kwargs = dict(uda_criterion="mse", reg_weight=5.0)
+    elif mode == "iic":
+        kwargs = dict(reg_weight=0.1, paddings=[1, 1], patch_sizes=1024)
+    elif mode == "udaiic":
+        kwargs = dict(uda_criterion="mse", uda_weight=10.0, iic_weight=0.1,
+                      reg_weight=1.0, paddings=[1, 1], patch_sizes=1024)
+    step = build_train_step(
+        model, tx, mode,
+        num_classes=num_classes,
+        feature_names=FEATURES,
+        feature_importance=[1.0, 0.5, 0.5],
+        projector=projector,
+        backend="xla",
+        **kwargs,
+    )
+    return model, state, step
+
+
+def _batch(rng, crop=32, n_lab=2, n_unlab=3, num_classes=3):
+    return {
+        "labeled_image": jnp.asarray(rng.random((n_lab, crop, crop, 1)), jnp.float32),
+        "labeled_target": jnp.asarray(rng.integers(0, num_classes, (n_lab, crop, crop))),
+        "unlabeled_image": jnp.asarray(rng.random((n_unlab, crop, crop, 1)), jnp.float32),
+    }
+
+
+@pytest.mark.parametrize("mode", ["partial", "uda", "iic", "udaiic"])
+def test_train_step_runs_and_updates(mode, rng):
+    model, state, step = _make_setup(mode)
+    batch = _batch(rng)
+    params_before = jax.device_get(state.params)
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["sup_loss"]))
+    assert np.isfinite(float(metrics["total_loss"]))
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, b), params_before,
+        jax.device_get(state2.params),
+    )
+    assert any(jax.tree_util.tree_leaves(changed))
+    if mode in ("uda", "udaiic"):
+        assert "uda" in metrics
+    if mode in ("iic", "udaiic"):
+        assert "mi" in metrics
+        assert float(metrics["reg_loss"]) != 0.0
+    if mode == "partial":
+        assert float(metrics["reg_loss"]) == 0.0
+    assert metrics["sup_dice_inter"].shape == (2, 3)
+
+
+def test_partial_reg_has_no_grad_effect(rng):
+    """partial total == sup: reg path contributes nothing."""
+    model, state, step = _make_setup("partial")
+    batch = _batch(rng)
+    _, metrics = step(state, batch)
+    assert np.isclose(float(metrics["total_loss"]), float(metrics["sup_loss"]))
+
+
+def test_udaiic_combination_formula(rng):
+    model, state, step = _make_setup("udaiic")
+    batch = _batch(rng)
+    _, m = step(state, batch)
+    # reg = 10*uda + 0.1*iic ; mi = -iic
+    expected = 10.0 * float(m["uda"]) + 0.1 * (-float(m["mi"]))
+    assert np.isclose(float(m["reg_loss"]), expected, rtol=1e-4)
+    assert np.isclose(
+        float(m["total_loss"]), float(m["sup_loss"]) + float(m["reg_loss"]), rtol=1e-5
+    )
+
+
+def test_train_step_deterministic_same_rng(rng):
+    model, state, step = _make_setup("uda")
+    batch = _batch(rng)
+    s1, m1 = step(state, batch)
+    # rebuild identical state (step donates its input)
+    model2, state2, step2 = _make_setup("uda")
+    s2, m2 = step2(state2, batch)
+    assert np.isclose(float(m1["total_loss"]), float(m2["total_loss"]))
+
+
+def test_eval_step_masking(rng):
+    num_classes = 3
+    model = UNet(input_dim=1, num_classes=num_classes)
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(model, tx, (1, 32, 32, 1), seed=0)
+    ev = build_eval_step(model, num_classes=num_classes)
+    img = jnp.asarray(rng.random((4, 32, 32, 1)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, num_classes, (4, 32, 32)))
+    mask_full = jnp.asarray([True, True, False, False])
+    out = ev(state.params, state.batch_stats, img, tgt, mask_full)
+    # padded rows must not contribute
+    img2 = img.at[2:].set(123.0)  # garbage in masked-out rows
+    out2 = ev(state.params, state.batch_stats, img2, tgt, mask_full)
+    assert np.isclose(float(out["loss"]), float(out2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["inter"]), np.asarray(out2["inter"]))
+    assert out["inter"].shape == (1, num_classes)

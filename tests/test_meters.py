@@ -1,0 +1,109 @@
+import numpy as np
+
+from mi_based_regularized_semi_supervised_segmentation_tpu.utils import (
+    AverageValueMeter,
+    MeterInterface,
+    MultipleAverageValueMeter,
+    Storage,
+    StorageIncomeDict,
+    SurfaceMeter,
+    UniversalDice,
+)
+
+
+def test_average_value_meter():
+    m = AverageValueMeter()
+    for v in [1.0, 2.0, 3.0]:
+        m.add(v)
+    assert np.isclose(m.mean, 2.0)
+    assert np.isclose(m.std, 1.0)
+    m.reset()
+    assert np.isnan(m.mean)
+
+
+def test_multiple_average_value_meter():
+    m = MultipleAverageValueMeter()
+    m.add(a=1.0, b=2.0)
+    m.add(a=3.0)
+    s = m.summary()
+    assert np.isclose(s["a"], 2.0) and np.isclose(s["b"], 2.0)
+
+
+def test_universal_dice_known_masks():
+    m = UniversalDice(C=2, report_axises=[1])
+    pred = np.array([[[1, 1], [0, 0]]])    # 2 fg pixels
+    target = np.array([[[1, 0], [0, 0]]])  # 1 fg pixel, 1 overlapping
+    m.add(pred, target)
+    s = m.summary()
+    # dice_fg = 2*1/(2+1) = 2/3
+    assert np.isclose(s["DSC1"], 2 / 3, atol=1e-5)
+    assert np.isclose(s["DSC_mean"], 2 / 3, atol=1e-5)
+
+
+def test_universal_dice_grouping_volume_semantics():
+    """Two slices of one patient are pooled (volume dice), separate patients
+    averaged — the reference's per-patient pseudo-3D dice."""
+    m = UniversalDice(C=2, report_axises=[1])
+    # patient A slice 1: perfect; slice 2: empty pred vs 2 fg pixels
+    m.add(np.array([[[1, 1]]]), np.array([[[1, 1]]]), group_name="A")
+    m.add(np.array([[[0, 0]]]), np.array([[[1, 1]]]), group_name="A")
+    # patient B: perfect
+    m.add(np.array([[[1, 0]]]), np.array([[[1, 0]]]), group_name="B")
+    s = m.summary()
+    # A: I=2, U=2+4 => dice=4/6=2/3 ; B: dice=1 ; mean=5/6
+    assert np.isclose(s["DSC1"], (2 / 3 + 1.0) / 2, atol=1e-4)
+
+
+def test_universal_dice_add_stats_equivalent():
+    m1 = UniversalDice(C=3)
+    m2 = UniversalDice(C=3)
+    rng = np.random.default_rng(0)
+    pred = rng.integers(0, 3, size=(4, 8, 8))
+    target = rng.integers(0, 3, size=(4, 8, 8))
+    m1.add(pred, target, group_name=["p1", "p1", "p2", "p2"])
+    inter = np.zeros((4, 3))
+    union = np.zeros((4, 3))
+    for c in range(3):
+        inter[:, c] = ((pred == c) & (target == c)).sum(axis=(1, 2))
+        union[:, c] = (pred == c).sum(axis=(1, 2)) + (target == c).sum(axis=(1, 2))
+    m2.add_stats(inter, union, group_name=["p1", "p1", "p2", "p2"])
+    assert m1.summary() == m2.summary()
+
+
+def test_surface_meter_hausdorff():
+    m = SurfaceMeter(C=2, report_axises=[1], metername="hausdorff")
+    a = np.zeros((1, 16, 16), dtype=int)
+    b = np.zeros((1, 16, 16), dtype=int)
+    a[0, 4:8, 4:8] = 1
+    b[0, 4:8, 4:8] = 1
+    m.add(a, b)
+    assert np.isclose(m.summary()["hausdorff1"], 0.0)
+    m2 = SurfaceMeter(C=2, report_axises=[1])
+    c = np.zeros((1, 16, 16), dtype=int)
+    c[0, 6:10, 4:8] = 1  # shifted by 2
+    m2.add(a, c)
+    assert m2.summary()["hausdorff1"] >= 2.0
+
+
+def test_meter_interface_and_storage(tmp_path):
+    meters = MeterInterface()
+    meters.register_meter("loss", AverageValueMeter())
+    meters.register_meter("dice", UniversalDice(C=2, report_axises=[1]))
+    with meters:
+        meters["loss"].add(0.5)
+        meters["dice"].add(np.array([[[1, 1]]]), np.array([[[1, 1]]]), group_name="A")
+        status = meters.tracking_status()
+    assert np.isclose(status["loss"]["mean"], 0.5)
+    assert np.isclose(status["dice"]["DSC1"], 1.0)
+
+    storage = Storage()
+    storage.put_from_dict(StorageIncomeDict(tra=status, val={"loss": {"mean": 0.1}}), epoch=0)
+    storage.put_from_dict(StorageIncomeDict(tra={"loss": {"mean": 0.2}}), epoch=1)
+    storage.to_csv(str(tmp_path))
+    csv = (tmp_path / "storage.csv").read_text()
+    assert "tra_loss_mean" in csv and "val_loss_mean" in csv
+
+    state = storage.state_dict()
+    s2 = Storage()
+    s2.load_state_dict(state)
+    assert s2.summary().equals(storage.summary())
