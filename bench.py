@@ -77,24 +77,39 @@ def main() -> None:
         backend=backend,
     )
 
-    rng = np.random.default_rng(0)
-    batch = {
-        "labeled_image": jnp.asarray(rng.random((n_lab, crop, crop, 1)), jnp.float32),
-        "labeled_target": jnp.asarray(
-            rng.integers(0, num_classes, (n_lab, crop, crop)), jnp.int32
-        ),
-        "unlabeled_image": jnp.asarray(rng.random((n_unlab, crop, crop, 1)), jnp.float32),
-    }
+    # Generate the batch ON DEVICE: H2D over the axon tunnel is slow, and
+    # benchmark inputs must not hide transfer time in the loop.
+    @jax.jit
+    def make_batch(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "labeled_image": jax.random.uniform(k1, (n_lab, crop, crop, 1), jnp.float32),
+            "labeled_target": jax.random.randint(
+                k2, (n_lab, crop, crop), 0, num_classes, jnp.int32
+            ),
+            "unlabeled_image": jax.random.uniform(k3, (n_unlab, crop, crop, 1), jnp.float32),
+        }
+
+    batch = make_batch(jax.random.PRNGKey(0))
+
+    def sync(state, metrics):
+        # NOTE: block_until_ready does NOT synchronize on the tunneled axon
+        # platform; a scalar device->host readback is the only reliable sync.
+        # The state chains through every step, so reading one scalar of the
+        # final state waits for the whole timed sequence.
+        return float(jax.device_get(metrics["total_loss"])) + float(
+            jax.device_get(state.step)
+        )
 
     # warmup / compile
-    for _ in range(5):
+    for _ in range(3):
         state, metrics = step(state, batch)
-    jax.block_until_ready(state.params)
+    sync(state, metrics)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(state.params)
+    sync(state, metrics)
     elapsed = time.perf_counter() - t0
 
     slices_per_sec = (n_lab + 2 * n_unlab) * steps / elapsed

@@ -63,18 +63,17 @@ def displaced_joint_xla(x: jnp.ndarray, x_tf: jnp.ndarray, padding: int) -> jnp.
 def displaced_joint(
     x: jnp.ndarray, x_tf: jnp.ndarray, padding: int, backend: str = "auto"
 ) -> jnp.ndarray:
-    """Dispatch between the XLA reference path and the fused Pallas kernel."""
+    """Dispatch between the XLA reference paths and the fused Pallas kernel."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla_banded"
     if backend == "xla":
         return displaced_joint_xla(x, x_tf, padding)
-    if backend in ("pallas", "auto"):
-        try:
-            from .pallas.mi_joint import displaced_joint_pallas
+    if backend == "xla_banded":
+        return displaced_joint_xla_banded(x, x_tf, padding)
+    if backend == "pallas":
+        from .pallas.mi_joint import displaced_joint_pallas
 
-            return displaced_joint_pallas(x, x_tf, padding)
-        except Exception:
-            if backend == "pallas":
-                raise
-            return displaced_joint_xla(x, x_tf, padding)
+        return displaced_joint_pallas(x, x_tf, padding)
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -154,6 +153,54 @@ def iid_segmentation_small_patch_loss(
     return sum(losses) / len(losses)
 
 
+def displaced_joint_xla_banded(
+    x: jnp.ndarray,
+    x_tf: jnp.ndarray,
+    padding: int,
+    band_rows: int = 8,
+    precision=None,
+) -> jnp.ndarray:
+    """MXU-efficient displaced joint over channel-flattened maps.
+
+    x, x_tf: [B, H, W, C] (C may be subheads*clusters). Returns [T, T, C, C].
+
+    Instead of (2p+1)^2 skinny einsums (20-wide outputs -> ~15% MXU tiles),
+    each row band materializes the 49-shift stack once ([B, Rb, W, T*T, C],
+    a few tens of MB) and contracts it against the band in ONE dot with a
+    [T*T*C, C] output — full MXU tiles, and each input element is read from
+    HBM once per band instead of 49 times. bf16/DEFAULT precision inputs with
+    fp32 accumulation by default (preferred_element_type).
+    """
+    assert x.ndim == 4 and x.shape == x_tf.shape, (x.shape, x_tf.shape)
+    B, H, W, C = x.shape
+    p = padding
+    T = 2 * p + 1
+    if precision is None:
+        precision = jax.lax.Precision.DEFAULT
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    out = jnp.zeros((T, T, C, C), jnp.float32)
+    for h0 in range(0, H, band_rows):
+        rb = min(band_rows, H - h0)
+        xtf_band = x_tf[:, h0:h0 + rb]  # [B, rb, W, C]
+        shifts = jnp.stack(
+            [
+                jax.lax.slice(xp, (0, h0 + dy, dx, 0), (B, h0 + dy + rb, dx + W, C))
+                for dy in range(T)
+                for dx in range(T)
+            ],
+            axis=3,
+        )  # [B, rb, W, T*T, C]
+        j = jnp.einsum(
+            "brwdc,brwe->dce",
+            shifts,
+            xtf_band,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [T*T, C, C]
+        out = out + j.reshape(T, T, C, C)
+    return out
+
+
 def displaced_joint_xla_subheads(x: jnp.ndarray, x_tf: jnp.ndarray, padding: int) -> jnp.ndarray:
     """Subhead-batched displaced joint: x, x_tf [B, H, W, S, K] ->
     [T, T, S, K, K]. All S subheads share one contraction per displacement
@@ -190,20 +237,38 @@ def iid_segmentation_loss_subheads(
 ) -> jnp.ndarray:
     """Mean over subheads of the displaced-MI loss; inputs [B, H, W, S, K]
     (reference: per-subhead criterion then average_iter,
-    semi_seg/epocher.py:274-275)."""
-    if backend in ("pallas", "auto"):
-        try:
-            from .pallas.mi_joint import displaced_joint_pallas_subheads
+    semi_seg/epocher.py:274-275).
 
-            joint = displaced_joint_pallas_subheads(x_out, x_tf_out, padding)
-        except Exception:
-            if backend == "pallas":
-                raise
-            joint = displaced_joint_xla_subheads(x_out, x_tf_out, padding)
-    else:
+    backend: 'pallas' (fused kernel), 'xla_banded' (shift-stack matmul),
+    'xla' (per-displacement einsums, fp32 HIGHEST — the parity reference),
+    'auto' (pallas -> banded fallback)."""
+    B, H, W, S, K = x_out.shape
+    if backend == "auto":
+        # pallas on TPU; banded XLA elsewhere (interpret-mode pallas is slow)
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla_banded"
+    if backend == "pallas":
+        from .pallas.mi_joint import displaced_joint_pallas
+
+        flat = displaced_joint_pallas(
+            x_out.reshape(B, H, W, S * K), x_tf_out.reshape(B, H, W, S * K), padding
+        )
+        joint = _block_diagonal_subheads(flat, S, K)
+    if backend == "xla_banded":
+        flat = displaced_joint_xla_banded(
+            x_out.reshape(B, H, W, S * K), x_tf_out.reshape(B, H, W, S * K), padding
+        )
+        joint = _block_diagonal_subheads(flat, S, K)
+    elif backend == "xla":
         joint = displaced_joint_xla_subheads(x_out, x_tf_out, padding)
     per_subhead = jax.vmap(lambda j: mi_from_joint(j, lamb), in_axes=2)(joint)  # [S]
     return jnp.mean(per_subhead)
+
+
+def _block_diagonal_subheads(flat_joint: jnp.ndarray, S: int, K: int) -> jnp.ndarray:
+    """[T, T, S*K, S*K] -> per-subhead diagonal blocks [T, T, S, K, K]."""
+    T = flat_joint.shape[0]
+    r = flat_joint.reshape(T, T, S, K, S, K)
+    return jnp.stack([r[:, :, s, :, s, :] for s in range(S)], axis=2)
 
 
 def iid_segmentation_small_patch_loss_subheads(
