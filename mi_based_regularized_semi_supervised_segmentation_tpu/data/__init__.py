@@ -1,7 +1,7 @@
 from .acdc import ACDCDataset, ACDCSemiInterface, create_val_split
 from .augment import ACDCStrongTransforms, PairedTransform, TwiceTransform
-from .sampler import InfiniteRandomSampler, PatientSampler
-from .loader import SegmentationLoader, PatientEvalLoader, get_dataloaders, create_val_loader
+from .sampler import InfiniteRandomSampler, PatientSampler, ContrastBatchSampler
+from .loader import SegmentationLoader, PatientEvalLoader, TwiceLoader, get_dataloaders, create_val_loader
 from .synthetic import generate_synthetic_acdc
 
 __all__ = [
@@ -13,6 +13,8 @@ __all__ = [
     "TwiceTransform",
     "InfiniteRandomSampler",
     "PatientSampler",
+    "ContrastBatchSampler",
+    "TwiceLoader",
     "SegmentationLoader",
     "PatientEvalLoader",
     "get_dataloaders",

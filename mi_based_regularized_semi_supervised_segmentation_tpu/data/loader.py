@@ -88,6 +88,88 @@ class SegmentationLoader:
             }
 
 
+class TwiceLoader:
+    """Infinite loader of twice-augmented view pairs for contrastive
+    pretraining (SequentialWrapperTwice semantics). ``total_freedom=True``
+    draws independent geometry per view; False shares geometry
+    (contrastyou/augment/sequential_wrapper.py:73-100). Batches come from a
+    ContrastBatchSampler (patient x partition structured) or an
+    InfiniteRandomSampler."""
+
+    def __init__(
+        self,
+        dataset: ACDCDataset,
+        transform: PairedTransform,
+        batch_sampler=None,
+        batch_size: Optional[int] = None,
+        total_freedom: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+    ) -> None:
+        from .augment import TwiceTransform
+        from .sampler import ContrastBatchSampler
+
+        self._dataset = dataset
+        if batch_sampler is None:
+            assert batch_size is not None
+            batch_sampler = _InfiniteBatcher(
+                InfiniteRandomSampler(len(dataset), seed=seed), batch_size
+            )
+        self._batch_sampler = batch_sampler
+        self._twice = TwiceTransform(transform, total_freedom=total_freedom)
+        self._seed = seed
+        self._pool = cf.ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
+        self._draw = 0
+
+    @property
+    def dataset(self) -> ACDCDataset:
+        return self._dataset
+
+    def set_total_freedom(self, value: bool) -> None:
+        self._twice.total_freedom = value
+
+    def _make_sample(self, index: int, draw_id: int):
+        img, gt, stem = self._dataset.load_raw(index)
+        rng = np.random.default_rng(np.random.SeedSequence([self._seed, 7, draw_id]))
+        (img1, tgt1), (img2, tgt2) = self._twice(img, gt, rng)
+        return (
+            img1, tgt1, img2, tgt2, stem,
+            self._dataset.get_partition(stem),
+            self._dataset.get_group(stem),
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        for indices in self._batch_sampler:
+            base = self._draw
+            self._draw += len(indices)
+            if self._pool is not None:
+                samples = list(self._pool.map(
+                    self._make_sample, indices, range(base, base + len(indices))))
+            else:
+                samples = [self._make_sample(i, base + k) for k, i in enumerate(indices)]
+            img1, tgt1, img2, tgt2, stems, partitions, groups = zip(*samples)
+            yield {
+                "image": np.stack(img1).astype(np.float32),
+                "target": np.stack(tgt1).astype(np.int32),
+                "image_tf": np.stack(img2).astype(np.float32),
+                "target_tf": np.stack(tgt2).astype(np.int32),
+                "filename": list(stems),
+                "partition": list(partitions),
+                "group": list(groups),
+            }
+
+
+class _InfiniteBatcher:
+    def __init__(self, sampler: InfiniteRandomSampler, batch_size: int) -> None:
+        self._sampler = sampler
+        self._batch_size = batch_size
+
+    def __iter__(self):
+        it = iter(self._sampler)
+        while True:
+            yield [next(it) for _ in range(self._batch_size)]
+
+
 class PatientEvalLoader:
     """Patient-grouped eval batches, padded to a single static shape."""
 

@@ -8,6 +8,12 @@ from .trainer import (
     UDAIICTrainer,
     trainer_zoos,
 )
+from .pretrain import (
+    ContrastTrainer,
+    ContrastTrainerMT,
+    IICContrastTrainer,
+    pretrain_zoos,
+)
 
 __all__ = [
     "build_optimizer",
@@ -21,4 +27,8 @@ __all__ = [
     "IICTrainer",
     "UDAIICTrainer",
     "trainer_zoos",
+    "ContrastTrainer",
+    "ContrastTrainerMT",
+    "IICContrastTrainer",
+    "pretrain_zoos",
 ]

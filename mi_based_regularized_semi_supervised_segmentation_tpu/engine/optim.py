@@ -80,12 +80,100 @@ def _radam(lr, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999,
     )
 
 
+def _adabound(lr, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999,
+              eps: float = 1e-8, final_lr: float = 0.1, gamma: float = 1e-3, **_):
+    """AdaBound (WHEEL::deepclustering2/optim/adabound.py): Adam whose
+    effective per-parameter step is clipped to a band converging to
+    ``final_lr`` (SGD-like) as training proceeds."""
+    import chex
+    import jax
+    import jax.numpy as jnp
+    import optax as _optax
+
+    def init(params):
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "nu": jax.tree_util.tree_map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params=None):
+        if weight_decay and params is not None:
+            grads = jax.tree_util.tree_map(lambda g, p: g + weight_decay * p, grads, params)
+        count = state["count"] + 1
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, state["mu"], grads)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], grads)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        step_size = lr * jnp.sqrt(bc2) / bc1
+        t = count.astype(jnp.float32)
+        lower = final_lr * (1 - 1 / (gamma * t + 1))
+        upper = final_lr * (1 + 1 / (gamma * t))
+
+        def upd(m, v):
+            denom = jnp.sqrt(v) + eps
+            eff = jnp.clip(step_size / denom, lower, upper)
+            return -eff * m
+
+        updates = jax.tree_util.tree_map(upd, mu, nu)
+        return updates, {"count": count, "mu": mu, "nu": nu}
+
+    del chex, _optax
+    return optax.GradientTransformation(init, update)
+
+
 OPTIMIZERS = {
     "Adam": _adam,
     "AdamW": _adamw,
     "SGD": _sgd,
     "RAdam": _radam,
+    "AdaBound": _adabound,
 }
+
+
+class RampScheduler:
+    """Linear loss-weight ramp between epochs (WHEEL::deepclustering2/
+    schedulers/customized_scheduler.py RampScheduler) — available for
+    weight ramps, mirroring the reference's unused-but-shipped scheduler."""
+
+    def __init__(self, begin_epoch: int, max_epoch: int, min_value: float,
+                 max_value: float, ramp_mult: float = -5.0) -> None:
+        self.begin_epoch = int(begin_epoch)
+        self.max_epoch = int(max_epoch)
+        self.min_value = float(min_value)
+        self.max_value = float(max_value)
+        self.mult = float(ramp_mult)
+        self.epoch = 0
+
+    def step(self) -> None:
+        self.epoch += 1
+
+    @property
+    def value(self) -> float:
+        return self.get_lr(self.epoch)
+
+    def get_lr(self, epoch: int) -> float:
+        if epoch < self.begin_epoch:
+            return self.min_value
+        if epoch >= self.max_epoch:
+            return self.max_value
+        frac = (epoch - self.begin_epoch) / max(self.max_epoch - self.begin_epoch, 1)
+        ramp = math.exp(self.mult * (1.0 - frac) ** 2)
+        return self.min_value + (self.max_value - self.min_value) * ramp
+
+
+class ConstantScheduler:
+    def __init__(self, begin_epoch: int = 0, value: float = 1.0) -> None:
+        self.begin_epoch = int(begin_epoch)
+        self._value = float(value)
+        self.epoch = 0
+
+    def step(self) -> None:
+        self.epoch += 1
+
+    @property
+    def value(self) -> float:
+        return self._value if self.epoch >= self.begin_epoch else 0.0
 
 
 def build_optimizer(optim_config: Dict[str, Any]) -> optax.GradientTransformation:
