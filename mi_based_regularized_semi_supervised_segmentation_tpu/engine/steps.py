@@ -130,13 +130,19 @@ def build_train_step(
     patch_sizes=1024,
     flip_threshold: float = 0.8,
     backend: str = "auto",
+    data_store=None,
+    crop: int = 224,
     jit: bool = True,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns step(state, batch) -> (state, metrics).
 
     batch: {"labeled_image" [Bl,H,W,1], "labeled_target" [Bl,H,W],
             "unlabeled_image" [Bu,H,W,1]}  (device arrays, batch axis may be
-            sharded over the mesh 'data' axis).
+            sharded over the mesh 'data' axis) — or, when ``data_store`` (a
+    data.device_pipeline.DeviceDataStore) is given, just
+    {"labeled_indices" [Bl], "unlabeled_indices" [Bu]} int32: the slices are
+    gathered from HBM and augmented inside the step (fused on-device
+    augmentation; no per-batch host traffic).
     """
     assert mode in ("partial", "uda", "iic", "udaiic"), mode
     needs_iic = mode in ("iic", "udaiic")
@@ -155,13 +161,33 @@ def build_train_step(
         return kl_div(p_tf_logits, jax.lax.stop_gradient(p_logits_tf))
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        labeled_image = batch["labeled_image"]
-        labeled_target = batch["labeled_target"]
-        unlabeled_image = batch["unlabeled_image"]
+        if data_store is not None:
+            # device-resident path: gather + augment on device; the batch
+            # carries only int32 slice indices.
+            from ..ops.augment_device import augment_pair_batch
+
+            lab_store = data_store["labeled"] if isinstance(data_store, dict) else data_store
+            unlab_store = data_store["unlabeled"] if isinstance(data_store, dict) else data_store
+            new_rng, flip_key, aug_l, aug_u = jax.random.split(state.rng, 4)
+            labeled_image, labeled_target = augment_pair_batch(
+                aug_l,
+                lab_store.images[batch["labeled_indices"]],
+                lab_store.labels[batch["labeled_indices"]],
+                crop=crop,
+            )
+            unlabeled_image, _ = augment_pair_batch(
+                aug_u,
+                unlab_store.images[batch["unlabeled_indices"]],
+                None,
+                crop=crop,
+            )
+        else:
+            labeled_image = batch["labeled_image"]
+            labeled_target = batch["labeled_target"]
+            unlabeled_image = batch["unlabeled_image"]
+            new_rng, flip_key = jax.random.split(state.rng)
         n_labeled = labeled_image.shape[0]
         n_unlabeled = unlabeled_image.shape[0]
-
-        new_rng, flip_key = jax.random.split(state.rng)
         flip_mask = sample_flip_mask(flip_key, n_unlabeled, flip_threshold)
         unlabeled_image_tf = apply_flips(unlabeled_image, flip_mask)
 
@@ -244,11 +270,24 @@ def build_train_step(
     return step
 
 
-def build_eval_step(model, *, num_classes: int, jit: bool = True):
+def build_eval_step(model, *, num_classes: int, data_store=None, crop: int = 224,
+                    jit: bool = True):
     """Returns eval(params, batch_stats, image, target, mask) ->
     {loss, inter [1,C], union [1,C]} — one padded patient volume per call,
     dice I/U pooled over valid slices on device (the volume-dice semantics of
-    the reference's patient-batched EvalEpocher, semi_seg/epocher.py:36-73)."""
+    the reference's patient-batched EvalEpocher, semi_seg/epocher.py:36-73).
+
+    With ``data_store``, the signature is eval(params, batch_stats, indices,
+    mask): slices are gathered + center-cropped on device."""
+
+    def evaluate_device(params, batch_stats, indices, mask):
+        from ..ops.augment_device import center_crop_batch
+
+        raw_img = data_store.images[indices].astype(jnp.float32) / 255.0
+        raw_lab = data_store.labels[indices].astype(jnp.int32)
+        image = center_crop_batch(raw_img, crop)[..., None]
+        target = center_crop_batch(raw_lab, crop)
+        return evaluate(params, batch_stats, image, target, mask)
 
     def evaluate(params, batch_stats, image, target, mask):
         logits = model.apply(
@@ -270,6 +309,7 @@ def build_eval_step(model, *, num_classes: int, jit: bool = True):
             "pred": pred,
         }
 
+    fn = evaluate_device if data_store is not None else evaluate
     if jit:
-        return jax.jit(evaluate)
-    return evaluate
+        return jax.jit(fn)
+    return fn

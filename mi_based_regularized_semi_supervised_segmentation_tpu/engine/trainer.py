@@ -138,6 +138,30 @@ class SemiTrainer:
         )
         self._state = replicate_state(self._state, self._mesh)
 
+        # Device-resident data mode: stage datasets into HBM once; steps get
+        # only int32 indices and run fused on-device augmentation.
+        self._device_data = bool(trainer_cfg.get("device_data", False))
+        self._data_stores = None
+        if self._device_data:
+            from ..data.device_pipeline import (
+                DeviceDataStore,
+                DeviceIndexLoader,
+                DevicePatientEvalLoader,
+            )
+
+            lab_store = DeviceDataStore(self._labeled_loader.dataset)
+            unlab_store = DeviceDataStore(self._unlabeled_loader.dataset)
+            self._data_stores = {"labeled": lab_store, "unlabeled": unlab_store}
+            lab_bs = cfg.get("LabeledData", {}).get("batch_size", 4)
+            unlab_bs = cfg.get("UnlabeledData", {}).get("batch_size", 10)
+            seed = int(cfg.get("RandomSeed", 10))
+            self._labeled_index_loader = DeviceIndexLoader(lab_store, lab_bs, seed=seed)
+            self._unlabeled_index_loader = DeviceIndexLoader(unlab_store, unlab_bs, seed=seed + 1)
+            self._val_store = DeviceDataStore(self._val_loader.dataset)
+            self._test_store = DeviceDataStore(self._test_loader.dataset)
+            self._val_index_loader = DevicePatientEvalLoader(self._val_store)
+            self._test_index_loader = DevicePatientEvalLoader(self._test_store)
+
         backend = cfg.get("Kernel", {}).get("backend", "auto") if cfg.get("Kernel") else "auto"
         self._train_step = build_train_step(
             self._model,
@@ -148,9 +172,18 @@ class SemiTrainer:
             feature_importance=self._feature_importance,
             projector=self._projector,
             backend=backend,
+            data_store=self._data_stores,
+            crop=self._crop_size,
             **self._step_kwargs,
         )
         self._eval_step = build_eval_step(self._model, num_classes=self._num_classes)
+        if self._device_data:
+            self._eval_step_val = build_eval_step(
+                self._model, num_classes=self._num_classes,
+                data_store=self._val_store, crop=self._crop_size)
+            self._eval_step_test = build_eval_step(
+                self._model, num_classes=self._num_classes,
+                data_store=self._test_store, crop=self._crop_size)
 
     def _build_components(self) -> None:
         """Mode-specific wiring; base has no regularizer (reg_weight 0)."""
@@ -190,7 +223,18 @@ class SemiTrainer:
         set_learning_rate(self._state.opt_state, lr)
         meters["lr"].add(lr)
 
-        host_iter = _combined_batches(self._labeled_loader, self._unlabeled_loader)
+        if self._device_data:
+            def index_batches():
+                for lab, unlab in zip(self._labeled_index_loader,
+                                      self._unlabeled_index_loader):
+                    yield {
+                        "labeled_indices": lab["indices"],
+                        "unlabeled_indices": unlab["indices"],
+                        "group": lab["group"],
+                    }
+            host_iter = index_batches()
+        else:
+            host_iter = _combined_batches(self._labeled_loader, self._unlabeled_loader)
         device_iter = prefetch_to_device(host_iter, self._mesh)
 
         pending = []  # (metrics dict of device arrays, group names)
@@ -230,15 +274,28 @@ class SemiTrainer:
             "dice", UniversalDice(self._num_classes, list(range(1, self._num_classes)))
         )
         pending = []
-        for batch in loader:
-            device_batch = shard_batch(
-                {k: batch[k] for k in ("image", "target", "mask")}, self._mesh
+        if self._device_data:
+            eval_step, index_loader = (
+                (self._eval_step_val, self._val_index_loader)
+                if loader is self._val_loader
+                else (self._eval_step_test, self._test_index_loader)
             )
-            out = self._eval_step(
-                self._state.params, self._state.batch_stats,
-                device_batch["image"], device_batch["target"], device_batch["mask"],
-            )
-            pending.append((out, batch["group"]))
+            for batch in index_loader:
+                out = eval_step(
+                    self._state.params, self._state.batch_stats,
+                    jax.device_put(batch["indices"]), jax.device_put(batch["mask"]),
+                )
+                pending.append((out, batch["group"]))
+        else:
+            for batch in loader:
+                device_batch = shard_batch(
+                    {k: batch[k] for k in ("image", "target", "mask")}, self._mesh
+                )
+                out = self._eval_step(
+                    self._state.params, self._state.batch_stats,
+                    device_batch["image"], device_batch["target"], device_batch["mask"],
+                )
+                pending.append((out, batch["group"]))
         for out, group in pending:
             out = jax.device_get(out)
             meters["loss"].add(float(out["loss"]))

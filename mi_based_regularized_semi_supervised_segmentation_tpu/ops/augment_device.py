@@ -1,0 +1,116 @@
+"""Fused on-device augmentation — the TPU-native data path.
+
+Re-expresses the reference's PIL pipeline (ACDCStrongTransforms.pretrain:
+RandomRotation(45, nearest) -> random V/H flips -> RandomCrop(224) ->
+brightness/contrast jitter; /root/reference/semi_seg/augment.py:7-24) as
+keyed, vectorized jnp ops that run INSIDE the jitted train step on
+device-resident uint8 slices. No host round-trip per batch: the whole
+preprocessed dataset (~100-350 MB as uint8) lives in HBM and each step
+gathers + augments its batch on device.
+
+Geometry is applied identically to image and label (nearest-neighbor
+resampling, label maps stay integral), mirroring the synchronized
+SequentialWrapper semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rotate_nearest_batch(
+    images: jnp.ndarray, angles_deg: jnp.ndarray, fill: float = 0.0
+) -> jnp.ndarray:
+    """[B, H, W] (any dtype) rotated per-sample by angles (degrees),
+    nearest-neighbor, original canvas, zero fill — vectorized version of the
+    host PairedTransform._rotate_nearest."""
+    B, H, W = images.shape
+    theta = jnp.deg2rad(angles_deg)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] - cy
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] - cx
+    cos_t = jnp.cos(theta)[:, None, None]
+    sin_t = jnp.sin(theta)[:, None, None]
+    src_x = cos_t * xs - sin_t * ys + cx
+    src_y = sin_t * xs + cos_t * ys + cy
+    sx = jnp.rint(src_x).astype(jnp.int32)
+    sy = jnp.rint(src_y).astype(jnp.int32)
+    valid = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
+    sxc = jnp.clip(sx, 0, W - 1)
+    syc = jnp.clip(sy, 0, H - 1)
+
+    def gather_one(img, yy, xx, ok):
+        vals = img[yy, xx]
+        return jnp.where(ok, vals, jnp.asarray(fill, vals.dtype))
+
+    return jax.vmap(gather_one)(images, syc, sxc, valid)
+
+
+def flip_batch(images: jnp.ndarray, vflip: jnp.ndarray, hflip: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W]; per-sample boolean flips of axis 1 (v) and axis 2 (h)."""
+    images = jnp.where(vflip[:, None, None], jnp.flip(images, axis=1), images)
+    return jnp.where(hflip[:, None, None], jnp.flip(images, axis=2), images)
+
+
+def crop_batch(images: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, crop: int) -> jnp.ndarray:
+    """[B, H, W] -> [B, crop, crop] at per-sample offsets."""
+
+    def one(img, y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (crop, crop))
+
+    return jax.vmap(one)(images, ys, xs)
+
+
+def augment_pair_batch(
+    key: jax.Array,
+    images: jnp.ndarray,   # [B, H, W] uint8 or float
+    labels: Optional[jnp.ndarray],  # [B, H, W] int or None
+    crop: int = 224,
+    rotation: float = 45.0,
+    jitter: Optional[Tuple[float, float]] = (0.5, 1.5),
+    flips: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Full reference-pretrain augmentation, synchronized image/label.
+    Returns (image [B, crop, crop, 1] float32 in [0,~1.5], label [B, crop, crop])."""
+    B, H, W = images.shape
+    k_rot, k_v, k_h, k_y, k_x, k_b, k_c = jax.random.split(key, 7)
+    img = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        img = img / 255.0
+    lab = labels.astype(jnp.int32) if labels is not None else None
+
+    if rotation:
+        angles = jax.random.uniform(k_rot, (B,), minval=-rotation, maxval=rotation)
+        img = rotate_nearest_batch(img, angles)
+        if lab is not None:
+            lab = rotate_nearest_batch(lab, angles)
+    if flips:
+        v = jax.random.bernoulli(k_v, 0.5, (B,))
+        h = jax.random.bernoulli(k_h, 0.5, (B,))
+        img = flip_batch(img, v, h)
+        if lab is not None:
+            lab = flip_batch(lab, v, h)
+    ys = jax.random.randint(k_y, (B,), 0, max(H - crop, 0) + 1)
+    xs = jax.random.randint(k_x, (B,), 0, max(W - crop, 0) + 1)
+    img = crop_batch(img, ys, xs, crop)
+    if lab is not None:
+        lab = crop_batch(lab, ys, xs, crop)
+    if jitter is not None:
+        lo, hi = jitter
+        brightness = jax.random.uniform(k_b, (B, 1, 1), minval=lo, maxval=hi)
+        contrast = jax.random.uniform(k_c, (B, 1, 1), minval=lo, maxval=hi)
+        img = img * brightness
+        mean = jnp.mean(img, axis=(1, 2), keepdims=True)
+        img = jnp.clip((img - mean) * contrast + mean, 0.0, None)
+    return img[..., None], lab
+
+
+def center_crop_batch(images: jnp.ndarray, crop: int) -> jnp.ndarray:
+    """[B, H, W] -> [B, crop, crop] center crop (eval transform)."""
+    B, H, W = images.shape
+    y = max((H - crop) // 2, 0)
+    x = max((W - crop) // 2, 0)
+    return images[:, y:y + crop, x:x + crop]

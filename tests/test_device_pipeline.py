@@ -1,0 +1,118 @@
+"""Device-resident data pipeline + fused on-device augmentation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
+    ACDCDataset,
+    generate_synthetic_acdc,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.data.augment import (
+    _rotate_nearest,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.data.device_pipeline import (
+    DeviceDataStore,
+    DeviceIndexLoader,
+    DevicePatientEvalLoader,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+    build_optimizer,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.engine.state import (
+    init_train_state,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.engine.steps import (
+    build_eval_step,
+    build_train_step,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.models import UNet
+from mi_based_regularized_semi_supervised_segmentation_tpu.ops.augment_device import (
+    augment_pair_batch,
+    center_crop_batch,
+    crop_batch,
+    flip_batch,
+    rotate_nearest_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("acdc_dev")
+    generate_synthetic_acdc(str(root), num_train_patients=4, num_val_patients=2,
+                            slices_per_patient=4, size=64)
+    return str(root)
+
+
+def test_rotate_device_matches_host(rng):
+    img = rng.random((2, 17, 19)).astype(np.float32)
+    angles = np.array([33.0, -71.0], np.float32)
+    got = np.asarray(rotate_nearest_batch(jnp.asarray(img), jnp.asarray(angles)))
+    for b in range(2):
+        expect = _rotate_nearest(img[b], angles[b])
+        # rounding ties at .5 can differ between np.rint paths; allow tiny count
+        mismatch = np.sum(got[b] != expect)
+        assert mismatch <= img[b].size * 0.02, mismatch
+
+
+def test_flip_crop_center(rng):
+    x = jnp.asarray(rng.random((2, 8, 8)), jnp.float32)
+    flipped = flip_batch(x, jnp.asarray([True, False]), jnp.asarray([False, True]))
+    np.testing.assert_array_equal(np.asarray(flipped[0]), np.asarray(x[0])[::-1])
+    np.testing.assert_array_equal(np.asarray(flipped[1]), np.asarray(x[1])[:, ::-1])
+    cropped = crop_batch(x, jnp.asarray([1, 2]), jnp.asarray([3, 0]), 4)
+    np.testing.assert_array_equal(np.asarray(cropped[0]), np.asarray(x[0])[1:5, 3:7])
+    cc = center_crop_batch(x, 4)
+    np.testing.assert_array_equal(np.asarray(cc[0]), np.asarray(x[0])[2:6, 2:6])
+
+
+def test_augment_pair_batch_sync(rng):
+    img = (rng.random((3, 64, 64)) * 255).astype(np.uint8)
+    lab = rng.integers(0, 3, (3, 64, 64)).astype(np.uint8)
+    out_img, out_lab = augment_pair_batch(
+        jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(lab), crop=32)
+    assert out_img.shape == (3, 32, 32, 1)
+    assert out_lab.shape == (3, 32, 32)
+    assert out_lab.dtype == jnp.int32
+    assert set(np.unique(np.asarray(out_lab))) <= {0, 1, 2}
+    # deterministic per key
+    out_img2, _ = augment_pair_batch(
+        jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(lab), crop=32)
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(out_img2))
+
+
+def test_device_store_and_loaders(data_root):
+    ds = ACDCDataset(data_root, "train")
+    store = DeviceDataStore(ds)
+    assert len(store) == 16
+    assert store.images.dtype == jnp.uint8
+    loader = DeviceIndexLoader(store, batch_size=3, seed=0)
+    b = next(iter(loader))
+    assert b["indices"].shape == (3,)
+    assert len(b["group"]) == 3
+    ev = DevicePatientEvalLoader(store)
+    batches = list(ev)
+    assert len(batches) == 4
+    assert batches[0]["mask"].sum() == 4
+
+
+def test_device_data_train_and_eval_step(data_root):
+    ds = ACDCDataset(data_root, "train")
+    store = DeviceDataStore(ds)
+    model = UNet(input_dim=1, num_classes=4)
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(model, tx, (1, 32, 32, 1), seed=0)
+    step = build_train_step(
+        model, tx, "partial", num_classes=4,
+        data_store={"labeled": store, "unlabeled": store}, crop=32)
+    batch = {"labeled_indices": jnp.asarray([0, 1], jnp.int32),
+             "unlabeled_indices": jnp.asarray([2, 3, 4], jnp.int32)}
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["sup_loss"]))
+    ev = build_eval_step(model, num_classes=4, data_store=store, crop=32)
+    out = ev(state2.params, state2.batch_stats,
+             jnp.asarray([0, 1, 2, 3], jnp.int32),
+             jnp.asarray([True, True, True, False]))
+    assert np.isfinite(float(out["loss"]))
+    assert out["inter"].shape == (1, 4)
