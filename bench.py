@@ -59,7 +59,7 @@ def main() -> None:
     model = UNet(input_dim=1, num_classes=num_classes, dtype=dtype)
     projector = ProjectorWrapper(
         feature_names=feature_names, num_clusters=20, num_subheads=5,
-        head_types="linear", normalize=False,
+        head_types="linear", normalize=False, local_dtype=dtype, local_flat=True,
     )
     tx = build_optimizer({"name": "Adam", "lr": 1e-7, "weight_decay": 1e-5})
     state = init_train_state(

@@ -17,29 +17,60 @@ from typing import Dict
 import numpy as np
 
 
-def _phantom(rng: np.random.Generator, size: int, num_classes: int):
+def _patient_style(rng: np.random.Generator, hard: bool):
+    """Per-patient appearance: intensity levels, scale, elliptic deformation,
+    noise. In ``hard`` mode styles vary widely across patients, so a model
+    trained on 2 labeled patients must generalize — the regime where the
+    unlabeled regularizers matter."""
+    if not hard:
+        return dict(bg=0.25, ring=0.2, cavity=0.5, rv=0.25, noise=0.03,
+                    r_scale=1.0, ecc=1.0, rot=0.0, texture=0.0)
+    return dict(
+        bg=rng.uniform(0.10, 0.45),
+        ring=rng.uniform(0.10, 0.35),
+        cavity=rng.uniform(0.25, 0.65),
+        rv=rng.uniform(0.12, 0.40),
+        noise=rng.uniform(0.02, 0.08),
+        r_scale=rng.uniform(0.7, 1.3),
+        ecc=rng.uniform(0.75, 1.3),
+        rot=rng.uniform(0, np.pi),
+        texture=rng.uniform(0.0, 0.15),
+    )
+
+
+def _phantom(rng: np.random.Generator, size: int, num_classes: int, style=None):
     """A ring phantom: background, myocardium ring, LV cavity, RV blob."""
+    style = style or _patient_style(rng, hard=False)
     yy, xx = np.indices((size, size))
     cy = size / 2 + rng.uniform(-size / 8, size / 8)
     cx = size / 2 + rng.uniform(-size / 8, size / 8)
-    r = np.hypot(yy - cy, xx - cx)
-    r_out = rng.uniform(size / 7, size / 4.8)
+    # eccentric, rotated radius metric (per-patient deformation)
+    dy, dx = yy - cy, xx - cx
+    c, s = np.cos(style["rot"]), np.sin(style["rot"])
+    u = c * dx - s * dy
+    v = (s * dx + c * dy) * style["ecc"]
+    r = np.hypot(u, v)
+    r_out = rng.uniform(size / 7, size / 4.8) * style["r_scale"]
     r_in = r_out * rng.uniform(0.5, 0.7)
     gt = np.zeros((size, size), np.uint8)
-    img = rng.normal(0.25, 0.05, (size, size))
+    img = rng.normal(style["bg"], 0.05, (size, size))
+    if style["texture"]:
+        # low-frequency per-patient texture field
+        coarse = rng.normal(0, style["texture"], (8, 8))
+        img += np.kron(coarse, np.ones((size // 8, size // 8)))
     if num_classes >= 4:
         # RV: crescent next to the ring
         rv_cx = cx - r_out * 1.5
         rv = np.hypot(yy - cy, xx - rv_cx) < r_out * rng.uniform(0.7, 0.9)
         gt[rv] = 1
-        img[rv] += 0.25
+        img[rv] += style["rv"]
     ring = (r <= r_out) & (r > r_in)
     cavity = r <= r_in
     gt[ring] = 2 if num_classes >= 4 else 1
     gt[cavity] = 3 if num_classes >= 4 else 1
-    img[ring] += 0.2
-    img[cavity] += 0.5
-    img = np.clip(img + rng.normal(0, 0.03, img.shape), 0, 1)
+    img[ring] += style["ring"]
+    img[cavity] += style["cavity"]
+    img = np.clip(img + rng.normal(0, style["noise"], img.shape), 0, 1)
     return (img * 255).astype(np.uint8), gt
 
 
@@ -51,6 +82,7 @@ def generate_synthetic_acdc(
     size: int = 256,
     num_classes: int = 4,
     seed: int = 0,
+    hard: bool = False,
 ) -> str:
     """Writes the dataset; returns ``root``. Idempotent (skips if present)."""
     from PIL import Image
@@ -70,8 +102,9 @@ def generate_synthetic_acdc(
             frame = 1
             group = f"patient{patient_id:03d}_{frame:02d}"
             acdc_info[group] = slices_per_patient
+            style = _patient_style(rng, hard)
             for s in range(slices_per_patient):
-                img, gt = _phantom(rng, size, num_classes)
+                img, gt = _phantom(rng, size, num_classes, style)
                 stem = f"{group}_{s:02d}"
                 Image.fromarray(img, mode="L").save(base / mode / "img" / f"{stem}.png")
                 Image.fromarray(gt, mode="L").save(base / mode / "gt" / f"{stem}.png")

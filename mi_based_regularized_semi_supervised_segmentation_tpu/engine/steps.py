@@ -29,7 +29,10 @@ import jax.numpy as jnp
 from ..models.unet import ENCODER_NAMES
 from ..ops.flips import apply_flips, sample_flip_mask
 from ..ops.iic import iid_loss
-from ..ops.iic_local import iid_segmentation_small_patch_loss_subheads
+from ..ops.iic_local import (
+    iid_segmentation_small_patch_loss_flat,
+    iid_segmentation_small_patch_loss_subheads,
+)
 from ..ops.losses import kl_div, mse_consistency
 from ..utils.general import class2one_hot
 from .state import TrainState
@@ -86,20 +89,29 @@ def _iic_regularization(
         if name in ENCODER_NAMES:
             is_encoder[name] = True
             plain_tf = plain
+            paired[name] = jnp.concatenate([plain_tf, tf], axis=0)
         else:
             is_encoder[name] = False
             plain_tf = apply_flips(plain, flip_mask)
-            loss_cfg[name] = (paddings[dec_idx], patch_sizes[dec_idx])
+            pad = paddings[dec_idx]
+            loss_cfg[name] = (pad, patch_sizes[dec_idx])
             dec_idx += 1
-        paired[name] = jnp.concatenate([plain_tf, tf], axis=0)
+            # pre-pad decoder features spatially so the cluster-head output
+            # is born on the padded canvas the displaced-MI kernel needs —
+            # its flatten becomes a free reshape (no big pad copies). The
+            # border probs are zero-masked after softmax, reproducing the
+            # conv zero-padding semantics exactly.
+            both = jnp.concatenate([plain_tf, tf], axis=0)
+            paired[name] = jnp.pad(
+                both, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
 
     probs = projector.apply({"params": proj_params}, paired)
 
     losses: Dict[str, jnp.ndarray] = {}
     for name in feature_names:
         p = probs[name]
-        p1, p2 = jnp.split(p, 2, axis=0)
         if is_encoder[name]:
+            p1, p2 = jnp.split(p, 2, axis=0)
             # [B, S, K] -> per-subhead global IID loss, averaged
             per_subhead = jax.vmap(
                 lambda a, b: iid_loss(a, b)[0], in_axes=(1, 1)
@@ -107,9 +119,27 @@ def _iic_regularization(
             losses[name] = jnp.mean(per_subhead)
         else:
             padding, patch = loss_cfg[name]
-            losses[name] = iid_segmentation_small_patch_loss_subheads(
-                p1, p2, padding=padding, patch_size=patch, backend=backend
+            Hp, Wp = p.shape[1], p.shape[2]
+            mask_shape = (
+                (1, Hp, Wp, 1) if p.ndim == 4 else (1, Hp, Wp, 1, 1)
             )
+            valid = jnp.pad(
+                jnp.ones((Hp - 2 * padding, Wp - 2 * padding), p.dtype),
+                ((padding, padding), (padding, padding)),
+            ).reshape(mask_shape)
+            p = p * valid
+            p1, p2 = jnp.split(p, 2, axis=0)
+            if p.ndim == 4:  # flat [.., S*K] layout (local_flat heads)
+                S, K = projector.head_shape(name)
+                losses[name] = iid_segmentation_small_patch_loss_flat(
+                    p1, p2, S, K, padding=padding, patch_size=patch,
+                    backend=backend, pre_padded=True,
+                )
+            else:
+                losses[name] = iid_segmentation_small_patch_loss_subheads(
+                    p1, p2, padding=padding, patch_size=patch, backend=backend,
+                    pre_padded=True,
+                )
     return losses
 
 

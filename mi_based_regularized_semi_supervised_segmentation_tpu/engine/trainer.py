@@ -237,12 +237,30 @@ class SemiTrainer:
             host_iter = _combined_batches(self._labeled_loader, self._unlabeled_loader)
         device_iter = prefetch_to_device(host_iter, self._mesh)
 
+        # optional profiler capture (Trainer.profile: <epoch int> or true):
+        # writes a jax.profiler trace of this epoch's first steps under
+        # save_dir/profile (the reference had no tracing subsystem; SURVEY §5)
+        profile_cfg = self._config.get("Trainer", {}).get("profile")
+        do_profile = profile_cfg is not None and (
+            profile_cfg is True or int(profile_cfg) == epoch
+        )
+        if do_profile:
+            import jax.profiler as _profiler
+
+            _profiler.start_trace(str(Path(self._save_dir) / "profile"))
+
         pending = []  # (metrics dict of device arrays, group names)
-        for _ in range(self._num_batches):
+        for i in range(self._num_batches):
             batch = next(device_iter)
             groups = batch.pop("group")
             self._state, metrics = self._train_step(self._state, batch)
             pending.append((metrics, groups))
+            if do_profile and i == min(10, self._num_batches - 1):
+                jax.device_get(metrics["total_loss"])
+                import jax.profiler as _profiler
+
+                _profiler.stop_trace()
+                do_profile = False
 
         for metrics, groups in pending:  # single host sync at epoch end
             metrics = jax.device_get(metrics)
@@ -307,8 +325,11 @@ class SemiTrainer:
 
     # --- training loop --------------------------------------------------
     def start_training(self) -> float:
+        import time as _time
+
         with SummaryWriter(self._save_dir) as writer:
             for self._cur_epoch in range(self._start_epoch, self._max_epoch):
+                t0 = _time.perf_counter()
                 train_result = self._run_epoch(self._cur_epoch)
                 val_result, cur_score = self._eval_epoch(self._val_loader)
                 test_result, _ = self._eval_epoch(self._test_loader)
@@ -319,6 +340,16 @@ class SemiTrainer:
                 writer.add_scalars_from_income_dict(income, self._cur_epoch)
                 self.save(cur_score)
                 self._storage.to_csv(self._save_dir)
+                dt = _time.perf_counter() - t0
+                print(
+                    f"[{self.mode}] epoch {self._cur_epoch:03d} "
+                    f"({dt:.1f}s): sup_loss="
+                    f"{train_result['sup_loss']['mean']:.4f} "
+                    f"reg_loss={train_result['reg_loss']['mean']:.4f} "
+                    f"val_DSC={cur_score:.4f} best={self._best_score:.4f} "
+                    f"lr={train_result['lr']['mean']:.2e}",
+                    flush=True,
+                )
         return self._best_score
 
     # --- checkpointing --------------------------------------------------
@@ -457,7 +488,8 @@ class UDATrainer(SemiTrainer):
         )
 
 
-def _make_projector(config: Dict[str, Any], feature_names) -> ProjectorWrapper:
+def _make_projector(config: Dict[str, Any], feature_names,
+                    local_dtype=jnp.float32) -> ProjectorWrapper:
     enc = config["EncoderParams"]
     dec = config["DecoderParams"]
 
@@ -473,6 +505,8 @@ def _make_projector(config: Dict[str, Any], feature_names) -> ProjectorWrapper:
         num_subheads=per_position("num_subheads", 5),
         head_types=per_position("head_types", "linear"),
         normalize=per_position("normalize", False),
+        local_dtype=local_dtype,
+        local_flat=True,
     )
 
 
@@ -481,7 +515,10 @@ class IICTrainer(SemiTrainer):
 
     def _build_components(self) -> None:
         cfg = self._config["IICRegParameters"]
-        self._projector = _make_projector(cfg, self._feature_names)
+        precision = self._config.get("Precision", {}) or {}
+        local_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            precision.get("compute_dtype", "float32")]
+        self._projector = _make_projector(cfg, self._feature_names, local_dtype)
         loss_cfg = cfg.get("LossParams", {})
         self._step_kwargs = dict(
             reg_weight=float(cfg["weight"]),

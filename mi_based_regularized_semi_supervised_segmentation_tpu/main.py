@@ -64,6 +64,11 @@ def main(argv: Optional[List[str]] = None):
     if checkpoint is not None:
         trainer.load_state_dict_from_path(checkpoint, strict=False)
     trainer.start_training()
+    # Optional post-training inference pass with PNG dumps + Hausdorff
+    # (reference kept this commented at semi_seg/main.py:45).
+    if config.get("Inference"):
+        report, score = trainer.inference()
+        print(f"inference DSC_mean={score:.4f}")
     return trainer
 
 

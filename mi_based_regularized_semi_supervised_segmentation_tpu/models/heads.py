@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,6 +40,37 @@ def split_feature_names(feature_names: Sequence[str]) -> Tuple[List[str], List[s
 def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
     return x / jnp.maximum(norm, eps)
+
+
+def _group_indicator(S: int, K: int, dtype) -> jnp.ndarray:
+    """[S*K, S] one-hot of lane -> subhead group."""
+    return jnp.asarray(
+        (jnp.arange(S * K)[:, None] // K) == jnp.arange(S)[None, :], dtype
+    )
+
+
+def group_softmax_flat(z: jnp.ndarray, S: int, K: int, T: float = 1.0,
+                       normalize: bool = False) -> jnp.ndarray:
+    """Per-subhead softmax computed entirely in the FLAT [..., S*K] layout.
+
+    A [..., S, K] tensor puts K=20 on the TPU lane axis (padded to 128) and
+    S=5 on sublanes (padded to 8) — ~10x memory bloat plus relayouts on
+    every elementwise op. Instead: subtract the per-pixel GLOBAL max across
+    all S*K lanes (valid for each group's softmax since it is constant per
+    pixel), exponentiate, and normalize per group via two tiny matmuls with
+    the [S*K, S] group-indicator matrix."""
+    if normalize:
+        g = _group_indicator(S, K, jnp.float32)
+        sq = jnp.matmul((z * z).astype(jnp.float32), g)          # [..., S]
+        inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+        z = z * jnp.matmul(inv, g.T).astype(z.dtype)             # [..., S*K]
+    z = z / T
+    m = jax.lax.stop_gradient(jnp.max(z, axis=-1, keepdims=True))
+    e = jnp.exp(z - m)
+    g = _group_indicator(S, K, jnp.float32)
+    sums = jnp.matmul(e.astype(jnp.float32), g)                  # [..., S]
+    denom = jnp.matmul(sums, g.T).astype(e.dtype)                # [..., S*K]
+    return e / denom
 
 
 class ClusterHead(nn.Module):
@@ -77,7 +109,11 @@ class ClusterHead(nn.Module):
 
 class LocalClusterHead(nn.Module):
     """Per-pixel (decoder) cluster head: 1x1 conv (or conv-LReLU-conv) ->
-    [normalize] -> softmax/T, preserving HxW. Output [B, H, W, S, K]."""
+    [normalize] -> softmax/T, preserving HxW. Output [B, H, W, S, K].
+
+    ``dtype``: compute/output dtype — bf16 halves the HBM traffic of the
+    large per-pixel probability maps feeding the displaced-MI kernel (which
+    accumulates in fp32 regardless)."""
 
     num_clusters: int = 10
     num_subheads: int = 5
@@ -85,25 +121,31 @@ class LocalClusterHead(nn.Module):
     T: float = 1.0
     normalize: bool = False
     interm_dim: int = 64
+    dtype: Any = jnp.float32
+    flat_output: bool = False  # True: return [B, H, W, S*K] (TPU hot path)
 
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
         assert features.ndim == 4, features.shape
-        x = features.astype(jnp.float32)
+        x = features.astype(self.dtype)
         S, K = self.num_subheads, self.num_clusters
         B, H, W, _ = x.shape
         if self.head_type == "linear":
-            out = nn.Conv(S * K, (1, 1), kernel_init=_dense_init(), name="conv")(x)
+            out = nn.Conv(S * K, (1, 1), kernel_init=_dense_init(),
+                          dtype=self.dtype, name="conv")(x)
         else:
             dim = x.shape[-1]
             w1 = self.param("w1", _dense_init(), (S, dim, self.interm_dim))
             b1 = self.param("b1", nn.initializers.zeros, (S, self.interm_dim))
             w2 = self.param("w2", _dense_init(), (S, self.interm_dim, K))
             b2 = self.param("b2", nn.initializers.zeros, (S, K))
-            h = jnp.einsum("bhwd,sdi->bhwsi", x, w1) + b1
+            h = jnp.einsum("bhwd,sdi->bhwsi", x, w1.astype(self.dtype)) + b1.astype(self.dtype)
             h = nn.leaky_relu(h, 0.01)
-            out = jnp.einsum("bhwsi,sik->bhwsk", h, w2) + b2
+            out = jnp.einsum("bhwsi,sik->bhwsk", h, w2.astype(self.dtype)) + b2.astype(self.dtype)
             out = out.reshape(B, H, W, S * K)
+        if self.flat_output:
+            # stay in the flat layout end-to-end (see group_softmax_flat)
+            return group_softmax_flat(out, S, K, self.T, self.normalize)
         out = out.reshape(B, H, W, S, K)
         if self.normalize:
             out = _l2_normalize(out, axis=-1)
@@ -162,12 +204,19 @@ class ProjectorWrapper(nn.Module):
     num_subheads: Any = 5
     head_types: Any = "linear"
     normalize: Any = False
+    local_dtype: Any = jnp.float32
+    local_flat: bool = False  # decoder heads emit [B,H,W,S*K] (TPU hot path)
 
     def _cfg(self, value, idx: int):
         if isinstance(value, (list, tuple)):
             assert len(value) == len(self.feature_names)
             return value[idx]
         return value
+
+    def head_shape(self, name: str) -> Tuple[int, int]:
+        """(num_subheads, num_clusters) for a position."""
+        idx = list(self.feature_names).index(name)
+        return int(self._cfg(self.num_subheads, idx)), int(self._cfg(self.num_clusters, idx))
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -185,5 +234,7 @@ class ProjectorWrapper(nn.Module):
             if name in ENCODER_NAMES:
                 out[name] = ClusterHead(**kwargs, name=name)(features[name])
             else:
-                out[name] = LocalClusterHead(**kwargs, name=name)(features[name])
+                out[name] = LocalClusterHead(**kwargs, dtype=self.local_dtype,
+                                             flat_output=self.local_flat,
+                                             name=name)(features[name])
         return out

@@ -234,6 +234,7 @@ def iid_segmentation_loss_subheads(
     padding: int,
     lamb: float = 1.0,
     backend: str = "auto",
+    pre_padded: bool = False,
 ) -> jnp.ndarray:
     """Mean over subheads of the displaced-MI loss; inputs [B, H, W, S, K]
     (reference: per-subhead criterion then average_iter,
@@ -241,7 +242,11 @@ def iid_segmentation_loss_subheads(
 
     backend: 'pallas' (fused kernel), 'xla_banded' (shift-stack matmul),
     'xla' (per-displacement einsums, fp32 HIGHEST — the parity reference),
-    'auto' (pallas -> banded fallback)."""
+    'auto' (pallas -> banded fallback).
+
+    pre_padded: inputs already carry the zero spatial border of width
+    ``padding`` (producer emitted padded+masked maps) — the pallas path then
+    skips its pad copies entirely."""
     B, H, W, S, K = x_out.shape
     if backend == "auto":
         # pallas on TPU; banded XLA elsewhere (interpret-mode pallas is slow)
@@ -250,9 +255,14 @@ def iid_segmentation_loss_subheads(
         from .pallas.mi_joint import displaced_joint_pallas
 
         flat = displaced_joint_pallas(
-            x_out.reshape(B, H, W, S * K), x_tf_out.reshape(B, H, W, S * K), padding
+            x_out.reshape(B, H, W, S * K), x_tf_out.reshape(B, H, W, S * K),
+            padding, 1536, jnp.bfloat16, pre_padded,
         )
         joint = _block_diagonal_subheads(flat, S, K)
+    if pre_padded and backend != "pallas":
+        p = padding
+        x_out = x_out[:, p:H - p, p:W - p]
+        x_tf_out = x_tf_out[:, p:H - p, p:W - p]
     if backend == "xla_banded":
         flat = displaced_joint_xla_banded(
             x_out.reshape(B, H, W, S * K), x_tf_out.reshape(B, H, W, S * K), padding
@@ -262,6 +272,44 @@ def iid_segmentation_loss_subheads(
         joint = displaced_joint_xla_subheads(x_out, x_tf_out, padding)
     per_subhead = jax.vmap(lambda j: mi_from_joint(j, lamb), in_axes=2)(joint)  # [S]
     return jnp.mean(per_subhead)
+
+
+def iid_segmentation_small_patch_loss_flat(
+    x_out: jnp.ndarray,
+    x_tf_out: jnp.ndarray,
+    S: int,
+    K: int,
+    padding: int,
+    patch_size: int,
+    lamb: float = 1.0,
+    backend: str = "auto",
+    pre_padded: bool = False,
+) -> jnp.ndarray:
+    """Flat-layout ([B, H, W, S*K]) front door for the subhead displaced-MI
+    loss — the TPU hot path. 5-D [.., S, K] tensors put K on the lane axis
+    (padded 20 -> 128) which bloats memory ~10x; the flat layout plus
+    ``group_softmax_flat`` upstream keeps everything well tiled. Falls back
+    to the 5-D implementation (reshape) off the single-tile pallas path."""
+    B, H, W, C = x_out.shape
+    assert C == S * K, (C, S, K)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla_banded"
+    interior_h = H - 2 * padding if pre_padded else H
+    interior_w = W - 2 * padding if pre_padded else W
+    single_tile = patch_size >= interior_h and patch_size >= interior_w
+    if backend == "pallas" and single_tile:
+        from .pallas.mi_joint import displaced_joint_pallas
+
+        flat = displaced_joint_pallas(
+            x_out, x_tf_out, padding, 1536, jnp.bfloat16, pre_padded)
+        joint = _block_diagonal_subheads(flat, S, K)
+        per_subhead = jax.vmap(lambda j: mi_from_joint(j, lamb), in_axes=2)(joint)
+        return jnp.mean(per_subhead)
+    return iid_segmentation_small_patch_loss_subheads(
+        x_out.reshape(B, H, W, S, K), x_tf_out.reshape(B, H, W, S, K),
+        padding=padding, patch_size=patch_size, lamb=lamb, backend=backend,
+        pre_padded=pre_padded,
+    )
 
 
 def _block_diagonal_subheads(flat_joint: jnp.ndarray, S: int, K: int) -> jnp.ndarray:
@@ -278,11 +326,24 @@ def iid_segmentation_small_patch_loss_subheads(
     patch_size: int,
     lamb: float = 1.0,
     backend: str = "auto",
+    pre_padded: bool = False,
 ) -> jnp.ndarray:
     """Tiled variant over [B, H, W, S, K]; average over tiles of the
     per-tile subhead-mean loss."""
     assert x_out.ndim == 5 and x_out.shape == x_tf_out.shape
     B, H, W, S, K = x_out.shape
+    if pre_padded:
+        if patch_size >= H - 2 * padding and patch_size >= W - 2 * padding:
+            # degenerate single full-map tile (the headline config): the
+            # pre-padded fast path applies directly
+            return iid_segmentation_loss_subheads(
+                x_out, x_tf_out, padding=padding, lamb=lamb, backend=backend,
+                pre_padded=True,
+            )
+        p = padding
+        x_out = x_out[:, p:H - p, p:W - p]
+        x_tf_out = x_tf_out[:, p:H - p, p:W - p]
+        B, H, W, S, K = x_out.shape
     ph, pw = min(patch_size, H), min(patch_size, W)
     step = max(patch_size // 2, 1)
     losses = []

@@ -47,11 +47,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flatten_padded(x: jnp.ndarray, padding: int, cp: int) -> Tuple[jnp.ndarray, int]:
+def _flatten_padded(x: jnp.ndarray, padding: int, cp: int,
+                    pre_padded: bool = False) -> Tuple[jnp.ndarray, int]:
     """[B, H, W, C] -> tall [B*(H+2p)*(W+2p), cp] row-major with per-image
-    zero borders and channel pad. Returns (tall, wp)."""
+    zero borders and channel pad. Returns (tall, wp). With ``pre_padded``,
+    x already carries the zero spatial borders ([B, H+2p, W+2p, C]) and only
+    the channel pad (or nothing) is applied — the flatten is a free reshape."""
     B, H, W, C = x.shape
     p = padding
+    if pre_padded:
+        if C != cp:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - C)))
+        return x.reshape(B * H * W, cp), W
     wp = W + 2 * p
     x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, cp - C)))
     return x.reshape(B * (H + 2 * p) * wp, cp), wp
@@ -108,13 +115,13 @@ def _pad_to_blocks(tall: jnp.ndarray, top: int, nbands: int, band: int) -> jnp.n
     return jnp.pad(tall, ((top, total - tall.shape[0] - top), (0, 0)))
 
 
-def _joint_fwd_call(x, x_tf, padding, band, dot_dtype):
+def _joint_fwd_call(x, x_tf, padding, band, dot_dtype, pre_padded=False):
     B, H, W, C = x.shape
     p = padding
     T = 2 * p + 1
     cp = _round_up(C, LANE)
-    a_tall, wp = _flatten_padded(x, p, cp)
-    b_tall, _ = _flatten_padded(x_tf, p, cp)
+    a_tall, wp = _flatten_padded(x, p, cp, pre_padded)
+    b_tall, _ = _flatten_padded(x_tf, p, cp, pre_padded)
     # Both talls share the same row layout; the displacement (dy, dx) maps to
     # x-row  n + (dy-p)*wp + (dx-p).  Shifting A down by shift = p*wp + p
     # makes all slab offsets non-negative: A[n + dy*wp + dx].
@@ -142,22 +149,26 @@ def _joint_fwd_call(x, x_tf, padding, band, dot_dtype):
     return out.reshape(T, T, cp, cp)[:, :, :C, :C]
 
 
-def _unflatten(tall: jnp.ndarray, B: int, H: int, W: int, C: int, padding: int) -> jnp.ndarray:
+def _unflatten(tall: jnp.ndarray, B: int, H: int, W: int, C: int, padding: int,
+               pre_padded: bool = False) -> jnp.ndarray:
     p = padding
+    if pre_padded:
+        tall = tall[: B * H * W]
+        return tall.reshape(B, H, W, tall.shape[-1])[..., :C]
     wp = W + 2 * p
     tall = tall[: B * (H + 2 * p) * wp]
     grid = tall.reshape(B, H + 2 * p, wp, tall.shape[-1])
     return grid[:, p:p + H, p:p + W, :C]
 
 
-def _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype):
+def _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype, pre_padded=False):
     """Returns (dx, dx_tf) for upstream cotangent g [T, T, C, C]."""
     B, H, W, C = x.shape
     p = padding
     T = 2 * p + 1
     D = T * T
     cp = _round_up(C, LANE)
-    wp = W + 2 * p
+    wp = W if pre_padded else W + 2 * p
     shift = p * wp + p
     offsets = [dy * wp + dx for dy in range(T) for dx in range(T)]
     max_off = offsets[-1]  # == 2 * shift
@@ -166,8 +177,8 @@ def _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype):
     g_pad = jnp.zeros((D, cp, cp), jnp.float32)
     g_pad = g_pad.at[:, :C, :C].set(g.reshape(D, C, C).astype(jnp.float32))
 
-    a_tall, _ = _flatten_padded(x, p, cp)
-    b_tall, _ = _flatten_padded(x_tf, p, cp)
+    a_tall, _ = _flatten_padded(x, p, cp, pre_padded)
+    b_tall, _ = _flatten_padded(x_tf, p, cp, pre_padded)
     n_rows = a_tall.shape[0]
     nbands = -(-n_rows // band)
 
@@ -185,7 +196,7 @@ def _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype):
         out_shape=jax.ShapeDtypeStruct((nbands * band, cp), jnp.float32),
         interpret=_interpret(),
     )(a_pad, a_pad, g_pad)
-    dx_tf = _unflatten(d_btall, B, H, W, C, p)
+    dx_tf = _unflatten(d_btall, B, H, W, C, p, pre_padded)
 
     # --- dx[u] = sum_d B[u - ((dy-p)*wp + (dx-p))] @ g[d]^T ---------------
     # With BS[r] = B[r - shift]: B[u + shift - off_d] = BS[u + max_off - off_d],
@@ -204,29 +215,33 @@ def _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype):
         out_shape=jax.ShapeDtypeStruct((nbands * band, cp), jnp.float32),
         interpret=_interpret(),
     )(b_shift, b_shift, g_pad)
-    dx = _unflatten(d_atall, B, H, W, C, p)
+    dx = _unflatten(d_atall, B, H, W, C, p, pre_padded)
     return dx, dx_tf
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def displaced_joint_pallas(
     x: jnp.ndarray,
     x_tf: jnp.ndarray,
     padding: int,
     band: int = DEFAULT_BAND,
     dot_dtype=jnp.bfloat16,
+    pre_padded: bool = False,
 ) -> jnp.ndarray:
-    """[B, H, W, C] x2 -> [T, T, C, C] raw displaced correlation sums."""
-    return _joint_fwd_call(x, x_tf, padding, band, dot_dtype)
+    """[B, H, W, C] x2 -> [T, T, C, C] raw displaced correlation sums.
+    With ``pre_padded``, inputs already carry zero spatial borders
+    ([B, H+2p, W+2p, C]) and the flatten is a free reshape."""
+    return _joint_fwd_call(x, x_tf, padding, band, dot_dtype, pre_padded)
 
 
-def _vjp_fwd(x, x_tf, padding, band, dot_dtype):
-    return _joint_fwd_call(x, x_tf, padding, band, dot_dtype), (x, x_tf)
+def _vjp_fwd(x, x_tf, padding, band, dot_dtype, pre_padded):
+    return _joint_fwd_call(x, x_tf, padding, band, dot_dtype, pre_padded), (x, x_tf)
 
 
-def _vjp_bwd(padding, band, dot_dtype, res, g):
+def _vjp_bwd(padding, band, dot_dtype, pre_padded, res, g):
     x, x_tf = res
-    return _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype)
+    dx, dx_tf = _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype, pre_padded)
+    return dx.astype(x.dtype), dx_tf.astype(x_tf.dtype)
 
 
 displaced_joint_pallas.defvjp(_vjp_fwd, _vjp_bwd)
