@@ -56,7 +56,10 @@ def main() -> None:
     n_lab, n_unlab = 4, 10
     feature_names = ("Conv5", "Up_conv3", "Up_conv2")
 
-    model = UNet(input_dim=1, num_classes=num_classes, dtype=dtype)
+    bn_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        os.environ.get("BENCH_BN_DTYPE", os.environ.get("BENCH_DTYPE", "bfloat16"))
+    ]
+    model = UNet(input_dim=1, num_classes=num_classes, dtype=dtype, bn_dtype=bn_dtype)
     projector = ProjectorWrapper(
         feature_names=feature_names, num_clusters=20, num_subheads=5,
         head_types="linear", normalize=False, local_dtype=dtype, local_flat=True,

@@ -300,6 +300,55 @@ def build_train_step(
     return step
 
 
+def build_epoch_scan(step_fn, num_batches: int, jit: bool = True):
+    """Fuse a whole training epoch into ONE device program.
+
+    With device-resident data the per-step host work is nil, so dispatching
+    steps one by one only pays host->device round-trip latency per step
+    (milliseconds over thin links). ``lax.scan`` over the step turns the
+    epoch into a single XLA invocation: one dispatch, metrics stacked on
+    device, one readback at epoch end.
+
+    step_fn must be the UNJITTED step (jit=False) over index batches.
+    Returns epoch_fn(state, batches) where batches is a dict of
+    [num_batches, ...]-stacked index arrays.
+    """
+
+    def epoch(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        def body(carry, batch):
+            new_state, metrics = step_fn(carry, batch)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, batches, length=num_batches)
+
+    if jit:
+        return jax.jit(epoch, donate_argnums=(0,))
+    return epoch
+
+
+def build_eval_scan(model, *, num_classes: int, data_store, crop: int = 224,
+                    jit: bool = True):
+    """Whole-eval-set program: scan over patient index batches.
+    eval_all(params, batch_stats, indices [P, padded], masks [P, padded]) ->
+    {loss [P], inter [P, C], union [P, C]}."""
+    eval_one = build_eval_step(model, num_classes=num_classes,
+                               data_store=data_store, crop=crop, jit=False)
+
+    def eval_all(params, batch_stats, indices, masks):
+        def body(_, im):
+            idx, mask = im
+            out = eval_one(params, batch_stats, idx, mask)
+            return None, {"loss": out["loss"], "inter": out["inter"][0],
+                          "union": out["union"][0]}
+
+        _, stacked = jax.lax.scan(body, None, (indices, masks))
+        return stacked
+
+    if jit:
+        return jax.jit(eval_all)
+    return eval_all
+
+
 def build_eval_step(model, *, num_classes: int, data_store=None, crop: int = 224,
                     jit: bool = True):
     """Returns eval(params, batch_stats, image, target, mask) ->

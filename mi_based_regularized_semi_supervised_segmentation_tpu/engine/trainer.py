@@ -43,7 +43,7 @@ from ..utils.writer import SummaryWriter
 from .checkpoints import BEST_NAME, LAST_NAME, load_checkpoint, save_checkpoint
 from .optim import build_optimizer, lr_at_epoch, set_learning_rate
 from .state import TrainState, init_train_state
-from .steps import build_eval_step, build_train_step
+from .steps import build_epoch_scan, build_eval_scan, build_eval_step, build_train_step
 
 
 def _combined_batches(labeled_loader, unlabeled_loader) -> Iterator[Dict[str, Any]]:
@@ -107,7 +107,11 @@ class SemiTrainer:
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             precision.get("compute_dtype", "float32")
         ]
-        self._model = UNet(input_dim=self._input_dim, num_classes=self._num_classes, dtype=dtype)
+        bn_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            precision.get("bn_dtype", "float32")
+        ]
+        self._model = UNet(input_dim=self._input_dim, num_classes=self._num_classes,
+                           dtype=dtype, bn_dtype=bn_dtype)
 
         trainer_cfg = cfg.get("Trainer", {})
         self._feature_names = list(trainer_cfg.get("feature_names", []))
@@ -177,11 +181,36 @@ class SemiTrainer:
             **self._step_kwargs,
         )
         self._eval_step = build_eval_step(self._model, num_classes=self._num_classes)
+        # Epoch-as-one-program mode: with device-resident data the per-step
+        # dispatch round trip dominates wall time on thin host links; a
+        # lax.scan over the step makes the epoch ONE XLA invocation.
+        self._epoch_scan = self._device_data and bool(
+            trainer_cfg.get("epoch_scan", True))
         if self._device_data:
             self._eval_step_val = build_eval_step(
                 self._model, num_classes=self._num_classes,
                 data_store=self._val_store, crop=self._crop_size)
             self._eval_step_test = build_eval_step(
+                self._model, num_classes=self._num_classes,
+                data_store=self._test_store, crop=self._crop_size)
+        if self._epoch_scan:
+            raw_step = build_train_step(
+                self._model, self._tx, self.mode,
+                num_classes=self._num_classes,
+                feature_names=self._feature_names,
+                feature_importance=self._feature_importance,
+                projector=self._projector,
+                backend=backend,
+                data_store=self._data_stores,
+                crop=self._crop_size,
+                jit=False,
+                **self._step_kwargs,
+            )
+            self._epoch_fn = build_epoch_scan(raw_step, self._num_batches)
+            self._eval_scan_val = build_eval_scan(
+                self._model, num_classes=self._num_classes,
+                data_store=self._val_store, crop=self._crop_size)
+            self._eval_scan_test = build_eval_scan(
                 self._model, num_classes=self._num_classes,
                 data_store=self._test_store, crop=self._crop_size)
 
@@ -223,6 +252,8 @@ class SemiTrainer:
         set_learning_rate(self._state.opt_state, lr)
         meters["lr"].add(lr)
 
+        if self._epoch_scan:
+            return self._run_epoch_scan(epoch, meters)
         if self._device_data:
             def index_batches():
                 for lab, unlab in zip(self._labeled_index_loader,
@@ -285,7 +316,78 @@ class SemiTrainer:
                 )
         return meters.tracking_status()
 
+    def _run_epoch_scan(self, epoch: int, meters) -> Dict[str, Dict[str, float]]:
+        """One-XLA-program epoch: draw all index batches, one dispatch, one
+        metric readback."""
+        lab_idx, unlab_idx, group_lists = [], [], []
+        lab_it = iter(self._labeled_index_loader)
+        unlab_it = iter(self._unlabeled_index_loader)
+        for _ in range(self._num_batches):
+            lab = next(lab_it)
+            unlab = next(unlab_it)
+            lab_idx.append(lab["indices"])
+            unlab_idx.append(unlab["indices"])
+            group_lists.append(lab["group"])
+        batches = {
+            "labeled_indices": jax.device_put(np.stack(lab_idx)),
+            "unlabeled_indices": jax.device_put(np.stack(unlab_idx)),
+        }
+        self._state, stacked = self._epoch_fn(self._state, batches)
+        stacked = jax.device_get(stacked)  # ONE readback for the whole epoch
+
+        total = np.asarray(stacked["total_loss"])
+        if not np.all(np.isfinite(total)):
+            bad = int(np.argmax(~np.isfinite(total)))
+            raise RuntimeError(f"non-finite loss at epoch {epoch} step {bad}")
+        for v in np.asarray(stacked["sup_loss"]):
+            meters["sup_loss"].add(float(v))
+        for v in np.asarray(stacked["reg_loss"]):
+            meters["reg_loss"].add(float(v))
+        inter = np.asarray(stacked["sup_dice_inter"])  # [NB, Bl, C]
+        union = np.asarray(stacked["sup_dice_union"])
+        for i, groups in enumerate(group_lists):
+            meters["sup_dice"].add_stats(inter[i], union[i], group_name=groups)
+        if "uda" in meters and "uda" in stacked:
+            for v in np.asarray(stacked["uda"]):
+                meters["uda"].add(float(v))
+        if "mi" in meters and "mi" in stacked:
+            for v in np.asarray(stacked["mi"]):
+                meters["mi"].add(float(v))
+            per_pos = {k.split("/", 1)[1]: np.asarray(v)
+                       for k, v in stacked.items()
+                       if k.startswith("individual_mis/")}
+            for i in range(self._num_batches):
+                meters["individual_mis"].add(
+                    **{k: float(v[i]) for k, v in per_pos.items()})
+        return meters.tracking_status()
+
+    def _eval_epoch_scan(self, index_loader, eval_scan):
+        meters = MeterInterface()
+        meters.register_meter("loss", AverageValueMeter())
+        meters.register_meter(
+            "dice", UniversalDice(self._num_classes, list(range(1, self._num_classes)))
+        )
+        indices, masks, groups = [], [], []
+        for batch in index_loader:
+            indices.append(batch["indices"])
+            masks.append(batch["mask"])
+            groups.append(batch["group"])
+        out = jax.device_get(eval_scan(
+            self._state.params, self._state.batch_stats,
+            jax.device_put(np.stack(indices)), jax.device_put(np.stack(masks)),
+        ))
+        for i, g in enumerate(groups):
+            meters["loss"].add(float(out["loss"][i]))
+            meters["dice"].add_stats(out["inter"][i:i + 1], out["union"][i:i + 1],
+                                     group_name=g)
+        report = meters.tracking_status()
+        return report, report["dice"]["DSC_mean"]
+
     def _eval_epoch(self, loader) -> Tuple[Dict[str, Dict[str, float]], float]:
+        if self._epoch_scan:
+            if loader is self._val_loader:
+                return self._eval_epoch_scan(self._val_index_loader, self._eval_scan_val)
+            return self._eval_epoch_scan(self._test_index_loader, self._eval_scan_test)
         meters = MeterInterface()
         meters.register_meter("loss", AverageValueMeter())
         meters.register_meter(
