@@ -263,6 +263,7 @@ def iid_segmentation_loss_subheads(
         p = padding
         x_out = x_out[:, p:H - p, p:W - p]
         x_tf_out = x_tf_out[:, p:H - p, p:W - p]
+        B, H, W, S, K = x_out.shape
     if backend == "xla_banded":
         flat = displaced_joint_xla_banded(
             x_out.reshape(B, H, W, S * K), x_tf_out.reshape(B, H, W, S * K), padding
