@@ -32,6 +32,13 @@ _index_re = re.compile(r"\d+")
 
 
 def _load_png(path: str) -> np.ndarray:
+    from . import native
+
+    if native.available():
+        with open(path, "rb") as f:
+            decoded = native.decode_png_gray8(f.read())
+        if decoded is not None:
+            return decoded
     from PIL import Image
 
     with Image.open(path) as im:

@@ -124,6 +124,26 @@ class PairedTransform:
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """img: [H, W] float32 in [0,1]; target: [H, W] int or None."""
         p = self.sample_params(rng, img.shape)
+
+        # native fused fast path (bit-compatible; ~10x faster per sample)
+        if self.crop is not None:
+            from . import native
+
+            if native.available():
+                if self.jitter is not None:
+                    lo, hi = self.jitter
+                    brightness = float(rng.uniform(lo, hi))
+                    contrast = float(rng.uniform(lo, hi))
+                else:
+                    brightness, contrast = -1.0, 1.0
+                out = native.augment_pair(
+                    img, target, p.angle, p.vflip, p.hflip, p.crop_y, p.crop_x,
+                    self.crop, brightness, contrast,
+                )
+                if out is not None:
+                    n_img, n_gt = out
+                    return n_img[..., None], n_gt
+
         out_img = self.apply_geometry(img.astype(np.float32), p)
         out_tgt = None
         if target is not None:
