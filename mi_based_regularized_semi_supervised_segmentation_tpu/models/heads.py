@@ -51,26 +51,45 @@ def _group_indicator(S: int, K: int, dtype) -> jnp.ndarray:
 
 def group_softmax_flat(z: jnp.ndarray, S: int, K: int, T: float = 1.0,
                        normalize: bool = False) -> jnp.ndarray:
-    """Per-subhead softmax computed entirely in the FLAT [..., S*K] layout.
+    """Per-subhead softmax computed entirely in the FLAT [..., C] layout
+    with C >= S*K (trailing lanes are dead and come out as exact zeros).
 
     A [..., S, K] tensor puts K=20 on the TPU lane axis (padded to 128) and
     S=5 on sublanes (padded to 8) — ~10x memory bloat plus relayouts on
     every elementwise op. Instead: subtract the per-pixel GLOBAL max across
-    all S*K lanes (valid for each group's softmax since it is constant per
+    the live lanes (valid for each group's softmax since it is constant per
     pixel), exponentiate, and normalize per group via two tiny matmuls with
-    the [S*K, S] group-indicator matrix."""
+    the [C, S] group-indicator matrix. Emitting C=128 (lane-width) directly
+    lets the displaced-MI kernel consume the maps with zero pad copies."""
+    C = z.shape[-1]
+    assert C >= S * K, (C, S, K)
+    live = C == S * K
+    if not live:
+        # dead lanes -> -inf so exp()=0; keeps them out of the max too
+        lane_live = (jnp.arange(C) < S * K)
+        z = jnp.where(lane_live, z, jnp.asarray(-jnp.inf, z.dtype))
     if normalize:
-        g = _group_indicator(S, K, jnp.float32)
-        sq = jnp.matmul((z * z).astype(jnp.float32), g)          # [..., S]
+        g = _group_indicator_padded(S, K, C, jnp.float32)
+        zl = jnp.where(jnp.isfinite(z), z, 0).astype(jnp.float32) if not live else z.astype(jnp.float32)
+        sq = jnp.matmul(zl * zl, g)                              # [..., S]
         inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
-        z = z * jnp.matmul(inv, g.T).astype(z.dtype)             # [..., S*K]
+        z = z * jnp.matmul(inv, g.T).astype(z.dtype)             # [..., C]
     z = z / T
     m = jax.lax.stop_gradient(jnp.max(z, axis=-1, keepdims=True))
     e = jnp.exp(z - m)
-    g = _group_indicator(S, K, jnp.float32)
+    g = _group_indicator_padded(S, K, C, jnp.float32)
     sums = jnp.matmul(e.astype(jnp.float32), g)                  # [..., S]
-    denom = jnp.matmul(sums, g.T).astype(e.dtype)                # [..., S*K]
-    return e / denom
+    denom = jnp.matmul(sums, g.T).astype(e.dtype)                # [..., C]
+    return e / jnp.maximum(denom, jnp.asarray(1e-30, e.dtype))
+
+
+def _group_indicator_padded(S: int, K: int, C: int, dtype) -> jnp.ndarray:
+    """[C, S] one-hot of lane -> subhead group; zero rows for dead lanes."""
+    lane = jnp.arange(C)
+    return jnp.asarray(
+        (lane[:, None] // K == jnp.arange(S)[None, :]) & (lane[:, None] < S * K),
+        dtype,
+    )
 
 
 class ClusterHead(nn.Module):
@@ -123,6 +142,8 @@ class LocalClusterHead(nn.Module):
     interm_dim: int = 64
     dtype: Any = jnp.float32
     flat_output: bool = False  # True: return [B, H, W, S*K] (TPU hot path)
+    lane_multiple: int = 1     # pad flat output channels to this multiple
+                               # (128 lets the MI kernel skip all pad copies)
 
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
@@ -145,6 +166,10 @@ class LocalClusterHead(nn.Module):
             out = out.reshape(B, H, W, S * K)
         if self.flat_output:
             # stay in the flat layout end-to-end (see group_softmax_flat)
+            if self.lane_multiple > 1 and out.shape[-1] % self.lane_multiple:
+                cp = -(-out.shape[-1] // self.lane_multiple) * self.lane_multiple
+                out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, cp - out.shape[-1])],
+                              constant_values=float(jnp.finfo(jnp.float32).min))
             return group_softmax_flat(out, S, K, self.T, self.normalize)
         out = out.reshape(B, H, W, S, K)
         if self.normalize:
@@ -205,7 +230,8 @@ class ProjectorWrapper(nn.Module):
     head_types: Any = "linear"
     normalize: Any = False
     local_dtype: Any = jnp.float32
-    local_flat: bool = False  # decoder heads emit [B,H,W,S*K] (TPU hot path)
+    local_flat: bool = False  # decoder heads emit flat probs (TPU hot path)
+    local_lane_multiple: int = 128  # lane pad for flat decoder heads
 
     def _cfg(self, value, idx: int):
         if isinstance(value, (list, tuple)):
@@ -234,7 +260,9 @@ class ProjectorWrapper(nn.Module):
             if name in ENCODER_NAMES:
                 out[name] = ClusterHead(**kwargs, name=name)(features[name])
             else:
-                out[name] = LocalClusterHead(**kwargs, dtype=self.local_dtype,
-                                             flat_output=self.local_flat,
-                                             name=name)(features[name])
+                out[name] = LocalClusterHead(
+                    **kwargs, dtype=self.local_dtype,
+                    flat_output=self.local_flat,
+                    lane_multiple=self.local_lane_multiple if self.local_flat else 1,
+                    name=name)(features[name])
         return out

@@ -256,7 +256,7 @@ def iid_segmentation_loss_subheads(
 
         flat = displaced_joint_pallas(
             x_out.reshape(B, H, W, S * K), x_tf_out.reshape(B, H, W, S * K),
-            padding, 1536, jnp.bfloat16, pre_padded,
+            padding, None, jnp.bfloat16, pre_padded,
         )
         joint = _block_diagonal_subheads(flat, S, K)
     if pre_padded and backend != "pallas":
@@ -292,7 +292,7 @@ def iid_segmentation_small_patch_loss_flat(
     ``group_softmax_flat`` upstream keeps everything well tiled. Falls back
     to the 5-D implementation (reshape) off the single-tile pallas path."""
     B, H, W, C = x_out.shape
-    assert C == S * K, (C, S, K)
+    assert C >= S * K, (C, S, K)  # trailing lanes may be dead zero-padding
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla_banded"
     interior_h = H - 2 * padding if pre_padded else H
@@ -302,10 +302,12 @@ def iid_segmentation_small_patch_loss_flat(
         from .pallas.mi_joint import displaced_joint_pallas
 
         flat = displaced_joint_pallas(
-            x_out, x_tf_out, padding, 1536, jnp.bfloat16, pre_padded)
-        joint = _block_diagonal_subheads(flat, S, K)
+            x_out, x_tf_out, padding, None, jnp.bfloat16, pre_padded)
+        joint = _block_diagonal_subheads(flat[:, :, :S * K, :S * K], S, K)
         per_subhead = jax.vmap(lambda j: mi_from_joint(j, lamb), in_axes=2)(joint)
         return jnp.mean(per_subhead)
+    x_out = x_out[..., :S * K]
+    x_tf_out = x_tf_out[..., :S * K]
     return iid_segmentation_small_patch_loss_subheads(
         x_out.reshape(B, H, W, S, K), x_tf_out.reshape(B, H, W, S, K),
         padding=padding, patch_size=patch_size, lamb=lamb, backend=backend,

@@ -37,6 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 DEFAULT_BAND = 1536
+MAX_BAND = 4096
+
+
+def _choose_band(n_rows: int, max_off: int) -> int:
+    """Largest band (multiple of 8, > max_off, <= MAX_BAND) dividing n_rows —
+    a divisor means zero row-padding copies for the unshifted operand."""
+    best = 0
+    b = 8
+    while b <= MAX_BAND:
+        if b > max_off and n_rows % b == 0:
+            best = b
+        b += 8
+    return best or DEFAULT_BAND
 
 
 def _interpret() -> bool:
@@ -127,11 +140,17 @@ def _joint_fwd_call(x, x_tf, padding, band, dot_dtype, pre_padded=False):
     # makes all slab offsets non-negative: A[n + dy*wp + dx].
     shift = p * wp + p
     offsets = [dy * wp + dx for dy in range(T) for dx in range(T)]
-    assert offsets[-1] < band, (offsets[-1], band)
     n_rows = b_tall.shape[0]
+    if band is None:
+        band = _choose_band(n_rows, offsets[-1])
+    assert offsets[-1] < band, (offsets[-1], band)
     nbands = -(-n_rows // band)
+    # A (the shifted operand, block specs i and i+1) always needs the
+    # shift+lookahead padding copy; B (block spec i only) needs none when the
+    # band divides its rows — _choose_band aims for exactly that.
     a_tall = _pad_to_blocks(a_tall, shift, nbands, band)
-    b_tall = _pad_to_blocks(b_tall, 0, nbands, band)
+    if n_rows != nbands * band:
+        b_tall = jnp.pad(b_tall, ((0, nbands * band - n_rows), (0, 0)))
 
     D = T * T
     out = pl.pallas_call(
@@ -172,7 +191,6 @@ def _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype, pre_padded=False):
     shift = p * wp + p
     offsets = [dy * wp + dx for dy in range(T) for dx in range(T)]
     max_off = offsets[-1]  # == 2 * shift
-    assert max_off < band
 
     g_pad = jnp.zeros((D, cp, cp), jnp.float32)
     g_pad = g_pad.at[:, :C, :C].set(g.reshape(D, C, C).astype(jnp.float32))
@@ -180,6 +198,9 @@ def _joint_bwd_call(x, x_tf, g, padding, band, dot_dtype, pre_padded=False):
     a_tall, _ = _flatten_padded(x, p, cp, pre_padded)
     b_tall, _ = _flatten_padded(x_tf, p, cp, pre_padded)
     n_rows = a_tall.shape[0]
+    if band is None:
+        band = _choose_band(n_rows, max_off)
+    assert max_off < band
     nbands = -(-n_rows // band)
 
     # --- dx_tf[n] = sum_d A[n + off_d] @ g[d] : same slabs as forward -----
@@ -224,7 +245,7 @@ def displaced_joint_pallas(
     x: jnp.ndarray,
     x_tf: jnp.ndarray,
     padding: int,
-    band: int = DEFAULT_BAND,
+    band=None,
     dot_dtype=jnp.bfloat16,
     pre_padded: bool = False,
 ) -> jnp.ndarray:
