@@ -80,7 +80,12 @@ def group_softmax_flat(z: jnp.ndarray, S: int, K: int, T: float = 1.0,
     g = _group_indicator_padded(S, K, C, jnp.float32)
     sums = jnp.matmul(e.astype(jnp.float32), g)                  # [..., S]
     denom = jnp.matmul(sums, g.T).astype(e.dtype)                # [..., C]
-    return e / jnp.maximum(denom, jnp.asarray(1e-30, e.dtype))
+    if live:
+        return e / denom
+    # dead lanes have denom == 0: the double-where keeps the 1/denom VJP off
+    # those lanes entirely (a max() clamp still routes NaN gradients through)
+    lane_live_b = jnp.arange(C) < S * K
+    return jnp.where(lane_live_b, e / jnp.where(lane_live_b, denom, 1.0), 0.0)
 
 
 def _group_indicator_padded(S: int, K: int, C: int, dtype) -> jnp.ndarray:

@@ -1,0 +1,117 @@
+"""Trainer-loop integration at tiny shapes (CPU): config wiring, epoch loop,
+checkpointing, resume, device-data + epoch-scan path."""
+
+import numpy as np
+import pytest
+
+from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
+    ACDCStrongTransforms,
+    PatientEvalLoader,
+    SegmentationLoader,
+    create_val_split,
+    generate_synthetic_acdc,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.data.acdc import (
+    ACDCSemiInterface,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.data.augment import (
+    PairedTransform,
+)
+from mi_based_regularized_semi_supervised_segmentation_tpu.engine import trainer_zoos
+
+
+CROP = 32
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("acdc_ti")
+    generate_synthetic_acdc(str(root), num_train_patients=6, num_val_patients=2,
+                            slices_per_patient=4, size=64)
+    tf_train = PairedTransform(rotation=45, vflip=True, hflip=True, crop=CROP,
+                               jitter=(0.5, 1.5))
+    tf_val = PairedTransform(rotation=0, vflip=False, hflip=False, crop=CROP,
+                             center_crop=True, jitter=None)
+    iface = ACDCSemiInterface(str(root), 0.5, 0.5)
+    lab, unlab, test = iface.create_semi_supervised_datasets()
+    loaders = dict(
+        labeled_loader=SegmentationLoader(lab, tf_train, 2, seed=0, num_workers=0),
+        unlabeled_loader=SegmentationLoader(unlab, tf_train, 3, seed=1, num_workers=0),
+        val_loader=PatientEvalLoader(create_val_split(unlab, 2), tf_val),
+        test_loader=PatientEvalLoader(test, tf_val),
+    )
+    return root, loaders
+
+
+def _config(mode, run_dir, **overrides):
+    cfg = {
+        "RandomSeed": 7,
+        "Arch": {"input_dim": 1, "num_classes": 4},
+        "Optim": {"name": "Adam", "lr": 1e-3, "weight_decay": 1e-5},
+        "Scheduler": {"multiplier": 2, "warmup_max": 1},
+        "Trainer": {"feature_names": ["Conv5", "Up_conv3", "Up_conv2"],
+                    "feature_importance": [1, 0.5, 0.5], "name": mode,
+                    "num_batches": 2, "max_epoch": 2},
+        "UDARegCriterion": {"name": "mse", "weight": 5.0},
+        "IICRegParameters": {
+            "EncoderParams": {"num_clusters": 5, "num_subheads": 2},
+            "DecoderParams": {"num_clusters": 5, "num_subheads": 2},
+            "LossParams": {"paddings": [1, 1], "patch_sizes": 1024},
+            "weight": 0.1,
+        },
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def test_partial_trainer_full_loop(setup, tmp_path):
+    root, loaders = setup
+    Trainer = trainer_zoos["partial"]
+    t = Trainer(configuration=_config("partial", tmp_path), save_dir="t_partial",
+                max_epoch=2, num_batches=2, crop_size=CROP, **loaders)
+    t.RUN_DIR = str(tmp_path)
+    t._save_dir = str(tmp_path / "t_partial")
+    import pathlib
+    pathlib.Path(t._save_dir).mkdir(parents=True, exist_ok=True)
+    t.init()
+    best = t.start_training()
+    assert np.isfinite(best) and 0 <= best <= 1
+    assert (tmp_path / "t_partial" / "last.ckpt").exists()
+    assert (tmp_path / "t_partial" / "best.ckpt").exists()
+    assert (tmp_path / "t_partial" / "storage.csv").exists()
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "t_partial" / "storage.csv")
+    assert list(df["epoch"]) == [0, 1]
+    assert "val_dice_DSC_mean" in df.columns
+
+    # resume: continues from epoch 2
+    t2 = Trainer(configuration=_config("partial", tmp_path), save_dir="t_partial",
+                 max_epoch=3, num_batches=2, crop_size=CROP, **loaders)
+    t2._save_dir = str(tmp_path / "t_partial")
+    t2.init()
+    t2.load_state_dict_from_path(str(tmp_path / "t_partial"), strict=True)
+    assert t2._start_epoch == 2
+    t2.start_training()
+    df2 = pd.read_csv(tmp_path / "t_partial" / "storage.csv")
+    assert list(df2["epoch"]) == [0, 1, 2]
+
+
+def test_udaiic_trainer_device_data_scan(setup, tmp_path):
+    root, loaders = setup
+    Trainer = trainer_zoos["udaiic"]
+    cfg = _config("udaiic", tmp_path)
+    cfg["Trainer"]["device_data"] = True
+    t = Trainer(configuration=cfg, save_dir="t_udaiic", max_epoch=1,
+                num_batches=2, crop_size=CROP, **loaders)
+    t._save_dir = str(tmp_path / "t_udaiic")
+    import pathlib
+    pathlib.Path(t._save_dir).mkdir(parents=True, exist_ok=True)
+    t.init()
+    assert t._epoch_scan
+    best = t.start_training()
+    assert np.isfinite(best)
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "t_udaiic" / "storage.csv")
+    assert "tra_mi_mean" in df.columns
+    assert "tra_uda_mean" in df.columns
+    assert np.isfinite(df["tra_mi_mean"].iloc[0])
