@@ -98,6 +98,44 @@ def test_prefetch_to_device_order():
         assert float(np.asarray(b["image"])[0, 0]) == i
 
 
+def test_epoch_scan_under_mesh(tmp_path, rng):
+    """Whole-epoch lax.scan program with batch indices sharded over the mesh;
+    device store replicated implicitly."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
+        ACDCDataset,
+        generate_synthetic_acdc,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data.device_pipeline import (
+        DeviceDataStore,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.steps import (
+        build_epoch_scan,
+    )
+
+    generate_synthetic_acdc(str(tmp_path), num_train_patients=4, num_val_patients=2,
+                            slices_per_patient=4, size=64)
+    store = DeviceDataStore(ACDCDataset(str(tmp_path), "train"))
+    mesh = make_mesh(8)
+    model = UNet(input_dim=1, num_classes=4)
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(model, tx, (1, 32, 32, 1), seed=0)
+    state = replicate_state(state, mesh)
+    raw = build_train_step(model, tx, "partial", num_classes=4, jit=False,
+                           data_store={"labeled": store, "unlabeled": store}, crop=32)
+    epoch_fn = build_epoch_scan(raw, num_batches=2)
+    batches = shard_batch(
+        {
+            # batch dims divisible by 8 for clean sharding on axis 1
+            "labeled_indices": rng.integers(0, 16, (2, 8)).astype(np.int32),
+            "unlabeled_indices": rng.integers(0, 16, (2, 8)).astype(np.int32),
+        },
+        None,
+    )
+    state2, stacked = epoch_fn(state, batches)
+    assert int(jax.device_get(state2.step)) == 2
+    assert np.all(np.isfinite(np.asarray(jax.device_get(stacked["sup_loss"]))))
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
