@@ -194,3 +194,46 @@ def test_eval_step_masking(rng):
     assert np.isclose(float(out["loss"]), float(out2["loss"]), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out["inter"]), np.asarray(out2["inter"]))
     assert out["inter"].shape == (1, num_classes)
+
+
+def test_uda_kl_criterion_variant(rng):
+    """UDA with the 'kl' consistency criterion (reference trainer.py:137)."""
+    model, state, _ = _make_setup("partial")
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+        build_optimizer,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.state import (
+        init_train_state,
+    )
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    model = UNet(input_dim=1, num_classes=3)
+    state = init_train_state(model, tx, (1, 32, 32, 1), seed=0)
+    step = build_train_step(model, tx, "uda", num_classes=3,
+                            uda_criterion="kl", reg_weight=5.0)
+    _, m = step(state, _batch(rng))
+    assert np.isfinite(float(m["uda"]))
+    assert float(m["uda"]) >= 0  # KL divergence is non-negative
+
+
+def test_iic_mode_with_normalized_heads(rng):
+    """IIC with normalize=True heads (config IICRegParameters.normalize)."""
+    model = UNet(input_dim=1, num_classes=3)
+    projector = ProjectorWrapper(feature_names=FEATURES, num_clusters=5,
+                                 num_subheads=2, normalize=True)
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+        build_optimizer,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.state import (
+        init_train_state,
+    )
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(model, tx, (1, 32, 32, 1), seed=0,
+                             projector=projector,
+                             projector_feature_names=FEATURES)
+    step = build_train_step(model, tx, "iic", num_classes=3,
+                            feature_names=FEATURES,
+                            feature_importance=[1, 0.5, 0.5],
+                            projector=projector, backend="xla",
+                            reg_weight=0.1, paddings=[1, 1], patch_sizes=1024)
+    _, m = step(state, _batch(rng))
+    assert np.isfinite(float(m["mi"]))
