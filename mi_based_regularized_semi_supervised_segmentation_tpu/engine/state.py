@@ -52,7 +52,7 @@ def init_train_state(
         params["projector"] = proj_vars["params"]
 
     opt_state = tx.init(params)
-    ema = jax.tree_util.tree_map(jnp.copy, params["model"]) if with_ema else None
+    ema = {"params": jax.tree_util.tree_map(jnp.copy, params["model"])} if with_ema else None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

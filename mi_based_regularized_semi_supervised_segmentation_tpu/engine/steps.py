@@ -162,6 +162,8 @@ def build_train_step(
     backend: str = "auto",
     data_store=None,
     crop: int = 224,
+    ema_alpha: float = 0.999,
+    ema_weight_decay: float = 1e-6,
     jit: bool = True,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns step(state, batch) -> (state, metrics).
@@ -174,9 +176,9 @@ def build_train_step(
     gathered from HBM and augmented inside the step (fused on-device
     augmentation; no per-batch host traffic).
     """
-    assert mode in ("partial", "uda", "iic", "udaiic"), mode
+    assert mode in ("partial", "uda", "iic", "udaiic", "entropy", "meanteacher"), mode
     needs_iic = mode in ("iic", "udaiic")
-    needs_uda = mode in ("uda", "udaiic")
+    needs_uda = mode in ("uda", "udaiic", "meanteacher")
     if needs_iic:
         assert projector is not None
         dec_names = [n for n in feature_names if n not in ENCODER_NAMES]
@@ -218,6 +220,7 @@ def build_train_step(
             new_rng, flip_key = jax.random.split(state.rng)
         n_labeled = labeled_image.shape[0]
         n_unlabeled = unlabeled_image.shape[0]
+        teacher_params = state.ema_params["params"] if mode == "meanteacher" else None
         flip_mask = sample_flip_mask(flip_key, n_unlabeled, flip_threshold)
         unlabeled_image_tf = apply_flips(unlabeled_image, flip_mask)
 
@@ -239,12 +242,37 @@ def build_train_step(
             reg_loss = jnp.zeros((), jnp.float32)
             total_weight = reg_weight
 
-            if needs_uda:
+            if mode == "meanteacher":
+                # teacher no-grad forward on the plain unlabeled view; flips
+                # re-applied to its logits (MeanTeacherEpocher semantics,
+                # base_epocher.py:171-186, applied to the semi setting).
+                teacher_logits = model.apply(
+                    {"params": jax.lax.stop_gradient(teacher_params),
+                     "batch_stats": state.batch_stats},
+                    unlabeled_image, train=False,
+                )
+                teacher_logits_tf = apply_flips(
+                    jax.lax.stop_gradient(teacher_logits), flip_mask)
+                uda_loss = consistency(
+                    jax.nn.softmax(unlabel_tf_logits, axis=-1),
+                    jax.nn.softmax(teacher_logits_tf, axis=-1),
+                )
+                metrics["uda"] = uda_loss
+            elif needs_uda:
                 uda_loss = consistency(
                     jax.nn.softmax(unlabel_tf_logits, axis=-1),
                     jax.nn.softmax(unlabel_logits_tf, axis=-1),
                 )
                 metrics["uda"] = uda_loss
+            if mode == "entropy":
+                # EntropyMin (the reference's dormant EntropyMinParameters
+                # section): minimize prediction entropy on unlabeled views.
+                from ..ops.losses import entropy as _entropy
+
+                ent = _entropy(jax.nn.softmax(
+                    jnp.concatenate([unlabel_logits, unlabel_tf_logits], axis=0),
+                    axis=-1))
+                metrics["entropy"] = ent
             if needs_iic:
                 iic_losses = _iic_regularization(
                     projector, params["projector"], features, flip_mask,
@@ -258,8 +286,11 @@ def build_train_step(
                 for n in feature_names:
                     metrics[f"individual_mis/{n}"] = -iic_losses[n]
 
-            if mode == "uda":
+            if mode in ("uda", "meanteacher"):
                 reg_loss = uda_loss
+                total_weight = reg_weight
+            elif mode == "entropy":
+                reg_loss = ent
                 total_weight = reg_weight
             elif mode == "iic":
                 reg_loss = iic_loss_val
@@ -281,6 +312,17 @@ def build_train_step(
             lambda p, u: p + u, state.params, updates
         )
 
+        new_ema = state.ema_params
+        if mode == "meanteacher":
+            t = state.step.astype(jnp.float32)
+            alpha = jnp.minimum(1.0 - 1.0 / (t + 1.0), ema_alpha)
+            decay = 1.0 - ema_weight_decay
+            new_teacher = jax.tree_util.tree_map(
+                lambda e, s: (e * alpha + (1 - alpha) * s) * decay,
+                state.ema_params["params"], new_params["model"],
+            )
+            new_ema = {"params": new_teacher}
+
         pred = jnp.argmax(label_logits, axis=-1)
         inter, union = dice_stats(pred, labeled_target, num_classes)
         metrics["sup_dice_inter"] = inter
@@ -292,6 +334,7 @@ def build_train_step(
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
             rng=new_rng,
+            ema_params=new_ema,
         )
         return new_state, metrics
 

@@ -124,6 +124,7 @@ class SemiTrainer:
 
         self._projector = None
         self._step_kwargs: Dict[str, Any] = {}
+        self._with_ema = False
         self._build_components()
 
         self._tx = build_optimizer(cfg["Optim"])
@@ -139,6 +140,7 @@ class SemiTrainer:
             seed=int(cfg.get("RandomSeed", 10)),
             projector=self._projector,
             projector_feature_names=self._feature_names if self._projector else None,
+            with_ema=self._with_ema,
         )
         self._state = replicate_state(self._state, self._mesh)
 
@@ -238,8 +240,10 @@ class SemiTrainer:
         meters.register_meter(
             "sup_dice", UniversalDice(self._num_classes, list(range(1, self._num_classes)))
         )
-        if self.mode in ("uda", "udaiic"):
+        if self.mode in ("uda", "udaiic", "meanteacher"):
             meters.register_meter("uda", AverageValueMeter())
+        if self.mode == "entropy":
+            meters.register_meter("entropy", AverageValueMeter())
         if self.mode in ("iic", "udaiic"):
             meters.register_meter("mi", AverageValueMeter())
             meters.register_meter("individual_mis", MultipleAverageValueMeter())
@@ -304,6 +308,8 @@ class SemiTrainer:
             )
             if "uda" in meters and "uda" in metrics:
                 meters["uda"].add(float(metrics["uda"]))
+            if "entropy" in meters and "entropy" in metrics:
+                meters["entropy"].add(float(metrics["entropy"]))
             if "mi" in meters and "mi" in metrics:
                 meters["mi"].add(float(metrics["mi"]))
                 meters["individual_mis"].add(**{
@@ -350,6 +356,9 @@ class SemiTrainer:
         if "uda" in meters and "uda" in stacked:
             for v in np.asarray(stacked["uda"]):
                 meters["uda"].add(float(v))
+        if "entropy" in meters and "entropy" in stacked:
+            for v in np.asarray(stacked["entropy"]):
+                meters["entropy"].add(float(v))
         if "mi" in meters and "mi" in stacked:
             for v in np.asarray(stacked["mi"]):
                 meters["mi"].add(float(v))
@@ -590,6 +599,38 @@ class UDATrainer(SemiTrainer):
         )
 
 
+class EntropyMinTrainer(SemiTrainer):
+    """Entropy minimization on unlabeled predictions — consumes the
+    reference's dormant EntropyMinParameters config section (the trainer was
+    stripped from the minimal release; config/semi.yaml:63-64)."""
+
+    mode = "entropy"
+
+    def _build_components(self) -> None:
+        cfg = self._config.get("EntropyMinParameters", {"weight": 1e-5})
+        self._step_kwargs = dict(reg_weight=float(cfg["weight"]))
+
+
+class MeanTeacherTrainer(SemiTrainer):
+    """Mean-teacher consistency for the semi setting — consumes the
+    reference's dormant MeanTeacherParameters section (config/semi.yaml:66-70).
+    Student trains on [labeled, unlabeled_tf]; an EMA teacher (device PyTree,
+    eval-mode BN) provides the flipped consistency target; evaluation uses
+    the student."""
+
+    mode = "meanteacher"
+
+    def _build_components(self) -> None:
+        cfg = self._config.get("MeanTeacherParameters", {})
+        self._step_kwargs = dict(
+            uda_criterion=cfg.get("name", "mse"),
+            reg_weight=float(cfg.get("weight", 10.0)),
+            ema_alpha=float(cfg.get("alpha", 0.999)),
+            ema_weight_decay=float(cfg.get("weight_decay", 1e-6)),
+        )
+        self._with_ema = True
+
+
 def _make_projector(config: Dict[str, Any], feature_names,
                     local_dtype=jnp.float32) -> ProjectorWrapper:
     enc = config["EncoderParams"]
@@ -649,4 +690,7 @@ trainer_zoos = {
     "uda": UDATrainer,
     "iic": IICTrainer,
     "udaiic": UDAIICTrainer,
+    # extensions consuming the reference's dormant config sections:
+    "entropy": EntropyMinTrainer,
+    "meanteacher": MeanTeacherTrainer,
 }

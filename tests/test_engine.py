@@ -237,3 +237,27 @@ def test_iic_mode_with_normalized_heads(rng):
                             reg_weight=0.1, paddings=[1, 1], patch_sizes=1024)
     _, m = step(state, _batch(rng))
     assert np.isfinite(float(m["mi"]))
+
+
+@pytest.mark.parametrize("mode,kwargs", [
+    ("entropy", dict(reg_weight=1e-5)),
+    ("meanteacher", dict(uda_criterion="mse", reg_weight=10.0)),
+])
+def test_extension_modes(mode, kwargs, rng):
+    """entropy / meanteacher modes (the reference's dormant config sections)."""
+    model = UNet(input_dim=1, num_classes=3)
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(model, tx, (1, 32, 32, 1), seed=0,
+                             with_ema=(mode == "meanteacher"))
+    step = build_train_step(model, tx, mode, num_classes=3, **kwargs)
+    batch = _batch(rng)
+    state2, m = step(state, batch)
+    assert np.isfinite(float(m["total_loss"]))
+    assert float(m["reg_loss"]) != 0.0
+    if mode == "meanteacher":
+        # first update: alpha=0 => teacher == student * (1 - wd)
+        stu = jax.tree_util.tree_leaves(jax.device_get(state2.params["model"]))[0]
+        tea = jax.tree_util.tree_leaves(jax.device_get(state2.ema_params["params"]))[0]
+        np.testing.assert_allclose(tea, stu * (1 - 1e-6), rtol=1e-5)
+    if mode == "entropy":
+        assert float(m["entropy"]) > 0
