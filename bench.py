@@ -79,6 +79,7 @@ def main_e2e() -> None:
     projector = ProjectorWrapper(
         feature_names=feature_names, num_clusters=20, num_subheads=5,
         local_dtype=dtype, local_flat=True,
+        local_emit_logits=os.environ.get("BENCH_FUSED", "0") == "1",
     )
     tx = build_optimizer({"name": "Adam", "lr": 1e-7, "weight_decay": 1e-5})
     state = init_train_state(model, tx, (1, crop, crop, 1), seed=0,
@@ -115,6 +116,9 @@ def main_e2e() -> None:
         "value": round(slices_per_sec, 2),
         "unit": "slices/s",
         "vs_baseline": round(slices_per_sec / baseline, 2),
+        # the reference publishes NO throughput numbers (BASELINE.md); the
+        # denominator is an estimate — derivation in BASELINE.md
+        "baseline": {"value": baseline, "estimated": "BENCH_BASELINE_SLICES_PER_SEC" not in os.environ},
     }))
 
 
@@ -152,6 +156,7 @@ def main() -> None:
     projector = ProjectorWrapper(
         feature_names=feature_names, num_clusters=20, num_subheads=5,
         head_types="linear", normalize=False, local_dtype=dtype, local_flat=True,
+        local_emit_logits=os.environ.get("BENCH_FUSED", "0") == "1",
     )
     tx = build_optimizer({"name": "Adam", "lr": 1e-7, "weight_decay": 1e-5})
     state = init_train_state(
@@ -211,6 +216,7 @@ def main() -> None:
         "value": round(slices_per_sec, 2),
         "unit": "slices/s",
         "vs_baseline": round(slices_per_sec / baseline, 2),
+        "baseline": {"value": baseline, "estimated": "BENCH_BASELINE_SLICES_PER_SEC" not in os.environ},
     }))
 
 

@@ -10,8 +10,13 @@ int32s) and runs the full augmentation pipeline fused into the jitted step
 only viable path on hosts with thin links to the accelerator.
 
 Images of varying sizes are padded to a common [Hmax, Wmax] canvas (centered)
-before staging; the random-crop augmentation never samples outside the valid
-region because crops are drawn from the per-slice valid window.
+before staging; each slice's valid window (size + offset) is staged alongside
+so the in-step random crop samples offsets INSIDE the valid window
+(pad-if-small semantics when the slice is narrower than the crop), matching
+the reference's RandomCrop rather than cropping zero canvas borders.
+
+With a mesh, arrays are replicated across devices (NamedSharding(mesh, P()))
+so batch-sharded index gathers stay local to each device.
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .acdc import ACDCDataset
 from .sampler import InfiniteRandomSampler, PatientSampler
@@ -28,10 +34,11 @@ from .sampler import InfiniteRandomSampler, PatientSampler
 
 class DeviceDataStore:
     """Staged dataset: images [N, H, W] uint8, labels [N, H, W] uint8 on
-    device, plus host-side metadata (stems, groups, partitions)."""
+    device, plus host-side metadata (stems, groups, partitions) and the
+    device-resident per-slice valid windows (valid_hw_dev / offsets_dev)."""
 
     def __init__(self, dataset: ACDCDataset, pad_to: Optional[Tuple[int, int]] = None,
-                 device=None) -> None:
+                 device=None, mesh=None) -> None:
         n = len(dataset)
         assert n > 0
         shapes = []
@@ -57,8 +64,12 @@ class DeviceDataStore:
             self.stems.append(stem)
             self.valid_hw[i] = (h, w)
             self.offsets[i] = (top, left)
+        if mesh is not None and device is None:
+            device = NamedSharding(mesh, P())  # replicated: local gathers
         self.images = jax.device_put(images, device)
         self.labels = jax.device_put(labels, device)
+        self.valid_hw_dev = jax.device_put(self.valid_hw, device)
+        self.offsets_dev = jax.device_put(self.offsets, device)
         self.groups = [dataset.get_group(s) for s in self.stems]
         self.partitions = [dataset.get_partition(s) for s in self.stems]
         self.shape = (hmax, wmax)

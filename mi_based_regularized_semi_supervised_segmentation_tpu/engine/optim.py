@@ -194,8 +194,14 @@ def build_optimizer(optim_config: Dict[str, Any]) -> optax.GradientTransformatio
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Functionally update the injected lr hyperparameter."""
+    """Return a NEW opt_state with the injected lr hyperparameter replaced.
+
+    Purely functional: the input state (which may have been donated into a
+    jitted step) is never mutated — callers must rebind, e.g.
+    ``state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))``.
+    """
     import jax.numpy as jnp
 
-    opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
-    return opt_state
+    hyper = dict(opt_state.hyperparams)
+    hyper["lr"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state._replace(hyperparams=hyper)

@@ -520,7 +520,8 @@ class ContrastTrainer:
                     "ds", UniversalDice(self._num_classes,
                                         list(range(1, self._num_classes))))
             lr = lr_schedule(epoch)
-            set_learning_rate(state.opt_state, lr)
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
             meters["lr"].add(lr)
 
             pending = []

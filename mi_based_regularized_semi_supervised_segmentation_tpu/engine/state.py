@@ -52,7 +52,16 @@ def init_train_state(
         params["projector"] = proj_vars["params"]
 
     opt_state = tx.init(params)
-    ema = {"params": jax.tree_util.tree_map(jnp.copy, params["model"])} if with_ema else None
+    # The teacher carries its OWN BN running stats (the reference ema_updater
+    # mixes BN buffers too, WHEEL::deepclustering2/models/ema.py:7-130).
+    ema = (
+        {
+            "params": jax.tree_util.tree_map(jnp.copy, params["model"]),
+            "batch_stats": jax.tree_util.tree_map(jnp.copy, batch_stats),
+        }
+        if with_ema
+        else None
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

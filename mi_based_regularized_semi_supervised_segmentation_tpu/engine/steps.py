@@ -30,6 +30,7 @@ from ..models.unet import ENCODER_NAMES
 from ..ops.flips import apply_flips, sample_flip_mask
 from ..ops.iic import iid_loss
 from ..ops.iic_local import (
+    iid_segmentation_loss_fused_logits,
     iid_segmentation_small_patch_loss_flat,
     iid_segmentation_small_patch_loss_subheads,
 )
@@ -79,7 +80,8 @@ def _iic_regularization(
     the flips to the plain features. Both go through the position's cluster
     head; per-subhead IIC losses are averaged."""
     dec_idx = 0
-    paired: Dict[str, jnp.ndarray] = {}
+    half1: Dict[str, jnp.ndarray] = {}
+    half2: Dict[str, jnp.ndarray] = {}
     is_encoder: Dict[str, bool] = {}
     loss_cfg: Dict[str, Tuple[int, int]] = {}
     for name in feature_names:
@@ -88,30 +90,32 @@ def _iic_regularization(
         tf = feat[n_labeled + n_unlabeled:]
         if name in ENCODER_NAMES:
             is_encoder[name] = True
-            plain_tf = plain
-            paired[name] = jnp.concatenate([plain_tf, tf], axis=0)
+            half1[name] = plain
+            half2[name] = tf
         else:
             is_encoder[name] = False
-            plain_tf = apply_flips(plain, flip_mask)
             pad = paddings[dec_idx]
             loss_cfg[name] = (pad, patch_sizes[dec_idx])
             dec_idx += 1
             # pre-pad decoder features spatially so the cluster-head output
             # is born on the padded canvas the displaced-MI kernel needs —
             # its flatten becomes a free reshape (no big pad copies). The
-            # border probs are zero-masked after softmax, reproducing the
-            # conv zero-padding semantics exactly.
-            both = jnp.concatenate([plain_tf, tf], axis=0)
-            paired[name] = jnp.pad(
-                both, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            # border probs are zero-masked after softmax (or in-kernel on the
+            # fused path), reproducing the conv zero-padding semantics.
+            # Heads are applied PER HALF: concat->head->split would copy the
+            # [2Bu, Hp, Wp, 128] head outputs twice (~1 GB/step at Up_conv2).
+            spad = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+            half1[name] = jnp.pad(apply_flips(plain, flip_mask), spad)
+            half2[name] = jnp.pad(tf, spad)
 
-    probs = projector.apply({"params": proj_params}, paired)
+    # one shared-parameter head application per view
+    probs1 = projector.apply({"params": proj_params}, half1)
+    probs2 = projector.apply({"params": proj_params}, half2)
 
     losses: Dict[str, jnp.ndarray] = {}
     for name in feature_names:
-        p = probs[name]
+        p1, p2 = probs1[name], probs2[name]
         if is_encoder[name]:
-            p1, p2 = jnp.split(p, 2, axis=0)
             # [B, S, K] -> per-subhead global IID loss, averaged
             per_subhead = jax.vmap(
                 lambda a, b: iid_loss(a, b)[0], in_axes=(1, 1)
@@ -119,17 +123,28 @@ def _iic_regularization(
             losses[name] = jnp.mean(per_subhead)
         else:
             padding, patch = loss_cfg[name]
-            Hp, Wp = p.shape[1], p.shape[2]
+            Hp, Wp = p1.shape[1], p1.shape[2]
+            if getattr(projector, "local_emit_logits", False):
+                # fused hot path: p1/p2 carry lane-padded LOGITS; softmax,
+                # border masking, and the joint all happen inside the Pallas
+                # kernel (probabilities never materialize in HBM)
+                assert patch >= Hp - 2 * padding and patch >= Wp - 2 * padding, \
+                    "fused path covers the single-tile (headline) config"
+                S, K = projector.head_shape(name)
+                losses[name] = iid_segmentation_loss_fused_logits(
+                    p1, p2, S, K, padding=padding,
+                )
+                continue
             mask_shape = (
-                (1, Hp, Wp, 1) if p.ndim == 4 else (1, Hp, Wp, 1, 1)
+                (1, Hp, Wp, 1) if p1.ndim == 4 else (1, Hp, Wp, 1, 1)
             )
             valid = jnp.pad(
-                jnp.ones((Hp - 2 * padding, Wp - 2 * padding), p.dtype),
+                jnp.ones((Hp - 2 * padding, Wp - 2 * padding), p1.dtype),
                 ((padding, padding), (padding, padding)),
             ).reshape(mask_shape)
-            p = p * valid
-            p1, p2 = jnp.split(p, 2, axis=0)
-            if p.ndim == 4:  # flat [.., S*K] layout (local_flat heads)
+            p1 = p1 * valid
+            p2 = p2 * valid
+            if p1.ndim == 4:  # flat [.., S*K] layout (local_flat heads)
                 S, K = projector.head_shape(name)
                 losses[name] = iid_segmentation_small_patch_loss_flat(
                     p1, p2, S, K, padding=padding, patch_size=patch,
@@ -201,17 +216,23 @@ def build_train_step(
             lab_store = data_store["labeled"] if isinstance(data_store, dict) else data_store
             unlab_store = data_store["unlabeled"] if isinstance(data_store, dict) else data_store
             new_rng, flip_key, aug_l, aug_u = jax.random.split(state.rng, 4)
+            lab_idx = batch["labeled_indices"]
+            unlab_idx = batch["unlabeled_indices"]
             labeled_image, labeled_target = augment_pair_batch(
                 aug_l,
-                lab_store.images[batch["labeled_indices"]],
-                lab_store.labels[batch["labeled_indices"]],
+                lab_store.images[lab_idx],
+                lab_store.labels[lab_idx],
                 crop=crop,
+                valid_hw=lab_store.valid_hw_dev[lab_idx],
+                offsets=lab_store.offsets_dev[lab_idx],
             )
             unlabeled_image, _ = augment_pair_batch(
                 aug_u,
-                unlab_store.images[batch["unlabeled_indices"]],
+                unlab_store.images[unlab_idx],
                 None,
                 crop=crop,
+                valid_hw=unlab_store.valid_hw_dev[unlab_idx],
+                offsets=unlab_store.offsets_dev[unlab_idx],
             )
         else:
             labeled_image = batch["labeled_image"]
@@ -220,9 +241,27 @@ def build_train_step(
             new_rng, flip_key = jax.random.split(state.rng)
         n_labeled = labeled_image.shape[0]
         n_unlabeled = unlabeled_image.shape[0]
-        teacher_params = state.ema_params["params"] if mode == "meanteacher" else None
         flip_mask = sample_flip_mask(flip_key, n_unlabeled, flip_threshold)
         unlabeled_image_tf = apply_flips(unlabeled_image, flip_mask)
+
+        teacher_logits_tf = None
+        teacher_batch_stats = None
+        if mode == "meanteacher":
+            # teacher no-grad forward on the plain unlabeled view; flips
+            # re-applied to its logits (MeanTeacherEpocher semantics,
+            # base_epocher.py:171-186, applied to the semi setting). The
+            # teacher runs train-mode BN over ITS OWN running stats —
+            # dedicated teacher statistics, as the reference ema_updater's
+            # BN buffer mixing implies (ema.py:7-130) and as the pretrain
+            # MT step (build_finetune_mt_step) already does.
+            teacher_logits, teacher_mutated = model.apply(
+                {"params": state.ema_params["params"],
+                 "batch_stats": state.ema_params["batch_stats"]},
+                unlabeled_image, train=True, mutable=["batch_stats"],
+            )
+            teacher_logits_tf = apply_flips(
+                jax.lax.stop_gradient(teacher_logits), flip_mask)
+            teacher_batch_stats = teacher_mutated["batch_stats"]
 
         def loss_fn(params):
             inputs = jnp.concatenate([labeled_image, unlabeled_image, unlabeled_image_tf], axis=0)
@@ -243,16 +282,6 @@ def build_train_step(
             total_weight = reg_weight
 
             if mode == "meanteacher":
-                # teacher no-grad forward on the plain unlabeled view; flips
-                # re-applied to its logits (MeanTeacherEpocher semantics,
-                # base_epocher.py:171-186, applied to the semi setting).
-                teacher_logits = model.apply(
-                    {"params": jax.lax.stop_gradient(teacher_params),
-                     "batch_stats": state.batch_stats},
-                    unlabeled_image, train=False,
-                )
-                teacher_logits_tf = apply_flips(
-                    jax.lax.stop_gradient(teacher_logits), flip_mask)
                 uda_loss = consistency(
                     jax.nn.softmax(unlabel_tf_logits, axis=-1),
                     jax.nn.softmax(teacher_logits_tf, axis=-1),
@@ -321,7 +350,8 @@ def build_train_step(
                 lambda e, s: (e * alpha + (1 - alpha) * s) * decay,
                 state.ema_params["params"], new_params["model"],
             )
-            new_ema = {"params": new_teacher}
+            new_ema = {"params": new_teacher,
+                       "batch_stats": teacher_batch_stats}
 
         pred = jnp.argmax(label_logits, axis=-1)
         inter, union = dice_stats(pred, labeled_target, num_classes)

@@ -76,6 +76,7 @@ class SemiTrainer:
         device: str = "tpu",
         mesh=None,
         crop_size: int = 224,
+        run_dir: Optional[str] = None,
         **kwargs,
     ) -> None:
         self._config = configuration
@@ -87,7 +88,9 @@ class SemiTrainer:
         self._num_batches = int(num_batches)
         self._crop_size = crop_size
         self._mesh = mesh
-        self._save_dir = str(Path(self.RUN_DIR) / save_dir)
+        # run_dir overrides the class-level RUN_DIR root (tests, sweeps);
+        # save_dir stays the per-experiment leaf, as in the reference.
+        self._save_dir = str(Path(run_dir or self.RUN_DIR) / save_dir)
         Path(self._save_dir).mkdir(parents=True, exist_ok=True)
         with open(Path(self._save_dir) / "config.yaml", "w") as f:
             yaml.safe_dump(configuration, f, default_flow_style=False, sort_keys=False)
@@ -155,20 +158,22 @@ class SemiTrainer:
                 DevicePatientEvalLoader,
             )
 
-            lab_store = DeviceDataStore(self._labeled_loader.dataset)
-            unlab_store = DeviceDataStore(self._unlabeled_loader.dataset)
+            lab_store = DeviceDataStore(self._labeled_loader.dataset, mesh=self._mesh)
+            unlab_store = DeviceDataStore(self._unlabeled_loader.dataset, mesh=self._mesh)
             self._data_stores = {"labeled": lab_store, "unlabeled": unlab_store}
             lab_bs = cfg.get("LabeledData", {}).get("batch_size", 4)
             unlab_bs = cfg.get("UnlabeledData", {}).get("batch_size", 10)
             seed = int(cfg.get("RandomSeed", 10))
             self._labeled_index_loader = DeviceIndexLoader(lab_store, lab_bs, seed=seed)
             self._unlabeled_index_loader = DeviceIndexLoader(unlab_store, unlab_bs, seed=seed + 1)
-            self._val_store = DeviceDataStore(self._val_loader.dataset)
-            self._test_store = DeviceDataStore(self._test_loader.dataset)
+            self._val_store = DeviceDataStore(self._val_loader.dataset, mesh=self._mesh)
+            self._test_store = DeviceDataStore(self._test_loader.dataset, mesh=self._mesh)
             self._val_index_loader = DevicePatientEvalLoader(self._val_store)
             self._test_index_loader = DevicePatientEvalLoader(self._test_store)
 
         backend = cfg.get("Kernel", {}).get("backend", "auto") if cfg.get("Kernel") else "auto"
+        if backend == "pallas_fused":  # fused selection lives on the projector
+            backend = "pallas"
         self._train_step = build_train_step(
             self._model,
             self._tx,
@@ -253,9 +258,12 @@ class SemiTrainer:
     def _run_epoch(self, epoch: int) -> Dict[str, Dict[str, float]]:
         meters = self._configure_train_meters()
         lr = self._lr_for_epoch(epoch)
-        set_learning_rate(self._state.opt_state, lr)
+        self._state = self._state.replace(
+            opt_state=set_learning_rate(self._state.opt_state, lr))
         meters["lr"].add(lr)
 
+        self._progress = bool(
+            self._config.get("Trainer", {}).get("progress", True))
         if self._epoch_scan:
             return self._run_epoch_scan(epoch, meters)
         if self._device_data:
@@ -285,11 +293,19 @@ class SemiTrainer:
             _profiler.start_trace(str(Path(self._save_dir) / "profile"))
 
         pending = []  # (metrics dict of device arrays, group names)
+        progress_every = max(self._num_batches // 5, 1)
         for i in range(self._num_batches):
             batch = next(device_iter)
             groups = batch.pop("group")
             self._state, metrics = self._train_step(self._state, batch)
             pending.append((metrics, groups))
+            # in-epoch feedback (reference: per-step tqdm postfix) WITHOUT
+            # forcing a device sync: report dispatch progress only
+            if self._progress and (i + 1) % progress_every == 0:
+                print(f"\r[{self.mode}] epoch {epoch:03d}: "
+                      f"{i + 1}/{self._num_batches} steps dispatched",
+                      end="" if i + 1 < self._num_batches else "\n",
+                      flush=True)
             if do_profile and i == min(10, self._num_batches - 1):
                 jax.device_get(metrics["total_loss"])
                 import jax.profiler as _profiler
@@ -322,9 +338,31 @@ class SemiTrainer:
                 )
         return meters.tracking_status()
 
+    def _put_index_batches(self, stacked: np.ndarray):
+        """Stage stacked [num_batches, B] index tensors, PARTITIONED on the
+        mesh data axis (axis 1) — the scan fast path is mesh-true: each
+        device gathers + augments + forwards only its batch shard; GSPMD
+        inserts the BN-stat and gradient all-reduces. Falls back to
+        replication when the per-step batch doesn't divide the axis."""
+        if self._mesh is None:
+            return jax.device_put(stacked)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self._mesh.axis_names[0]
+        n_dev = self._mesh.shape[axis]
+        spec = P(None, axis) if stacked.shape[1] % n_dev == 0 else P()
+        return jax.device_put(stacked, NamedSharding(self._mesh, spec))
+
     def _run_epoch_scan(self, epoch: int, meters) -> Dict[str, Dict[str, float]]:
         """One-XLA-program epoch: draw all index batches, one dispatch, one
         metric readback."""
+        if self._progress:
+            # an epoch is ONE device program here; announce the dispatch so
+            # the 10s+ block isn't silent (per-step feedback would force
+            # host syncs and defeat the scan)
+            print(f"\r[{self.mode}] epoch {epoch:03d}: dispatching "
+                  f"{self._num_batches} steps as one program …",
+                  end="", flush=True)
         lab_idx, unlab_idx, group_lists = [], [], []
         lab_it = iter(self._labeled_index_loader)
         unlab_it = iter(self._unlabeled_index_loader)
@@ -335,8 +373,8 @@ class SemiTrainer:
             unlab_idx.append(unlab["indices"])
             group_lists.append(lab["group"])
         batches = {
-            "labeled_indices": jax.device_put(np.stack(lab_idx)),
-            "unlabeled_indices": jax.device_put(np.stack(unlab_idx)),
+            "labeled_indices": self._put_index_batches(np.stack(lab_idx)),
+            "unlabeled_indices": self._put_index_batches(np.stack(unlab_idx)),
         }
         self._state, stacked = self._epoch_fn(self._state, batches)
         stacked = jax.device_get(stacked)  # ONE readback for the whole epoch
@@ -452,8 +490,8 @@ class SemiTrainer:
                 self.save(cur_score)
                 self._storage.to_csv(self._save_dir)
                 dt = _time.perf_counter() - t0
-                print(
-                    f"[{self.mode}] epoch {self._cur_epoch:03d} "
+                print(  # leading \r overwrites any pending progress line
+                    f"\r[{self.mode}] epoch {self._cur_epoch:03d} "
                     f"({dt:.1f}s): sup_loss="
                     f"{train_result['sup_loss']['mean']:.4f} "
                     f"reg_loss={train_result['reg_loss']['mean']:.4f} "
@@ -614,9 +652,10 @@ class EntropyMinTrainer(SemiTrainer):
 class MeanTeacherTrainer(SemiTrainer):
     """Mean-teacher consistency for the semi setting — consumes the
     reference's dormant MeanTeacherParameters section (config/semi.yaml:66-70).
-    Student trains on [labeled, unlabeled_tf]; an EMA teacher (device PyTree,
-    eval-mode BN) provides the flipped consistency target; evaluation uses
-    the student."""
+    Student trains on [labeled, unlabeled_tf]; an EMA teacher (device PyTree
+    with its OWN BN running stats, per the reference ema_updater's BN buffer
+    mixing, ema.py:7-130) provides the flipped consistency target; evaluation
+    uses the student."""
 
     mode = "meanteacher"
 
@@ -632,7 +671,7 @@ class MeanTeacherTrainer(SemiTrainer):
 
 
 def _make_projector(config: Dict[str, Any], feature_names,
-                    local_dtype=jnp.float32) -> ProjectorWrapper:
+                    local_dtype=jnp.float32, fused_ok: bool = False) -> ProjectorWrapper:
     enc = config["EncoderParams"]
     dec = config["DecoderParams"]
 
@@ -642,14 +681,23 @@ def _make_projector(config: Dict[str, Any], feature_names,
             for name in feature_names
         ]
 
+    head_types = per_position("head_types", "linear")
+    normalize = per_position("normalize", False)
+    # fused softmax+mask+joint kernel covers the linear/unnormalized decoder
+    # head (the headline config); other head shapes use the unfused path
+    dec_idx = [i for i, n in enumerate(feature_names) if n not in ENCODER_NAMES]
+    emit_logits = fused_ok and all(
+        head_types[i] == "linear" and not normalize[i] for i in dec_idx
+    )
     return ProjectorWrapper(
         feature_names=tuple(feature_names),
         num_clusters=per_position("num_clusters", 10),
         num_subheads=per_position("num_subheads", 5),
-        head_types=per_position("head_types", "linear"),
-        normalize=per_position("normalize", False),
+        head_types=head_types,
+        normalize=normalize,
         local_dtype=local_dtype,
         local_flat=True,
+        local_emit_logits=emit_logits,
     )
 
 
@@ -661,12 +709,29 @@ class IICTrainer(SemiTrainer):
         precision = self._config.get("Precision", {}) or {}
         local_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             precision.get("compute_dtype", "float32")]
-        self._projector = _make_projector(cfg, self._feature_names, local_dtype)
         loss_cfg = cfg.get("LossParams", {})
+        kernel_cfg = self._config.get("Kernel") or {}
+        backend = kernel_cfg.get("backend", "auto")
+        patches = loss_cfg.get("patch_sizes", 1024)
+        min_patch = min(patches) if isinstance(patches, (list, tuple)) else patches
+        # Kernel.backend=pallas_fused opts into the softmax-in-kernel path
+        # (ops/pallas/mi_fused). Measured on v5e it LOSES to the default
+        # (pallas joint + XLA softmax with per-half einsum heads): the
+        # in-kernel softmax serializes with the MXU dots — kept as an option,
+        # not the default.
+        fused_ok = (
+            backend == "pallas_fused"
+            and jax.default_backend() == "tpu"
+            and min_patch >= self._crop_size
+        )
+        if backend == "pallas_fused":
+            backend = "pallas"  # joint backend for any unfused decoder tier
+        self._projector = _make_projector(cfg, self._feature_names, local_dtype,
+                                          fused_ok=fused_ok)
         self._step_kwargs = dict(
             reg_weight=float(cfg["weight"]),
             paddings=loss_cfg.get("paddings", 1),
-            patch_sizes=loss_cfg.get("patch_sizes", 1024),
+            patch_sizes=patches,
         )
 
 

@@ -33,6 +33,13 @@ def main(argv: Optional[List[str]] = None):
 
     set_seed(int(config.get("RandomSeed", 1)))
 
+    # Precision.matmul_precision governs XLA's default dot/conv precision
+    # (fp32 inputs only; bf16 compute is selected via compute_dtype).
+    precision_cfg = config.get("Precision", {}) or {}
+    matmul_precision = precision_cfg.get("matmul_precision")
+    if matmul_precision:
+        jax.config.update("jax_default_matmul_precision", str(matmul_precision))
+
     data_cfg = config.get("Data", {})
     if data_cfg.get("synthetic"):
         from . import DATA_PATH
@@ -47,8 +54,26 @@ def main(argv: Optional[List[str]] = None):
     Trainer = trainer_zoos[trainer_name]
 
     parallel_cfg = config.get("Parallel", {}) or {}
+    if parallel_cfg.get("multihost"):
+        from .parallel import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=parallel_cfg.get("coordinator_address"),
+            num_processes=parallel_cfg.get("num_processes"),
+            process_id=parallel_cfg.get("process_id"),
+        )
     n_devices = parallel_cfg.get("num_devices") or len(jax.devices())
-    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    space_size = int(parallel_cfg.get("space_size", 1) or 1)
+    mesh = (
+        make_mesh(
+            n_devices,
+            data_axis=parallel_cfg.get("data_axis", "data"),
+            space_axis="space" if space_size > 1 else None,
+            space_size=space_size,
+        )
+        if n_devices > 1
+        else None
+    )
 
     trainer = Trainer(
         labeled_loader=labeled_loader,

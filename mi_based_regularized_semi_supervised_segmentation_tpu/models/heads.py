@@ -77,9 +77,15 @@ def group_softmax_flat(z: jnp.ndarray, S: int, K: int, T: float = 1.0,
     z = z / T
     m = jax.lax.stop_gradient(jnp.max(z, axis=-1, keepdims=True))
     e = jnp.exp(z - m)
-    g = _group_indicator_padded(S, K, C, jnp.float32)
-    sums = jnp.matmul(e.astype(jnp.float32), g)                  # [..., S]
-    denom = jnp.matmul(sums, g.T).astype(e.dtype)                # [..., C]
+    # one [C, C] group-sum-broadcast matmul (G2 = Ind @ Ind^T). The two-hop
+    # [.., C]@[C, S] -> [.., S]@[S, C] version leaves 123 of 128 output lanes
+    # idle on both MXU passes (~5 ms/step at Up_conv2); the fat single dot is
+    # ~20x faster despite 25x the nominal FLOPs.
+    g2 = _group_indicator_padded(S, K, C, jnp.float32)
+    g2 = jnp.matmul(g2, g2.T).astype(e.dtype)                     # [C, C] 0/1
+    # bf16 e against the 0/1 matrix with fp32 accumulation is EXACT (each
+    # product is a bf16 value or 0), so numerics match the fp32 two-hop form
+    denom = jnp.matmul(e, g2, preferred_element_type=jnp.float32).astype(e.dtype)
     if live:
         return e / denom
     # dead lanes have denom == 0: the double-where keeps the 1/denom VJP off
@@ -149,6 +155,9 @@ class LocalClusterHead(nn.Module):
     flat_output: bool = False  # True: return [B, H, W, S*K] (TPU hot path)
     lane_multiple: int = 1     # pad flat output channels to this multiple
                                # (128 lets the MI kernel skip all pad copies)
+    emit_logits: bool = False  # True (flat only): skip the softmax and return
+                               # lane-padded LOGITS — consumed by the fused
+                               # softmax+mask+joint Pallas kernel (mi_fused)
 
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
@@ -157,8 +166,14 @@ class LocalClusterHead(nn.Module):
         S, K = self.num_subheads, self.num_clusters
         B, H, W, _ = x.shape
         if self.head_type == "linear":
-            out = nn.Conv(S * K, (1, 1), kernel_init=_dense_init(),
-                          dtype=self.dtype, name="conv")(x)
+            # 1x1 conv as an explicit matmul: XLA's conv weight-grad path
+            # lowers [B,H,W,Cin] x [B,H,W,SK] -> [1,1,Cin,SK] as a slow
+            # convolution fusion (~9 ms/step at Up_conv2); the einsum grad is
+            # one MXU contraction over the flattened pixels.
+            dim = x.shape[-1]
+            kernel = self.param("kernel", _dense_init(), (dim, S * K))
+            bias = self.param("bias", nn.initializers.zeros, (S * K,))
+            out = x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
         else:
             dim = x.shape[-1]
             w1 = self.param("w1", _dense_init(), (S, dim, self.interm_dim))
@@ -175,6 +190,10 @@ class LocalClusterHead(nn.Module):
                 cp = -(-out.shape[-1] // self.lane_multiple) * self.lane_multiple
                 out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, cp - out.shape[-1])],
                               constant_values=float(jnp.finfo(jnp.float32).min))
+            if self.emit_logits:
+                assert not self.normalize and self.T == 1.0, \
+                    "emit_logits covers the linear/T=1/unnormalized hot path"
+                return out
             return group_softmax_flat(out, S, K, self.T, self.normalize)
         out = out.reshape(B, H, W, S, K)
         if self.normalize:
@@ -237,6 +256,8 @@ class ProjectorWrapper(nn.Module):
     local_dtype: Any = jnp.float32
     local_flat: bool = False  # decoder heads emit flat probs (TPU hot path)
     local_lane_multiple: int = 128  # lane pad for flat decoder heads
+    local_emit_logits: bool = False  # decoder heads emit LOGITS for the
+                                     # fused softmax+joint kernel (mi_fused)
 
     def _cfg(self, value, idx: int):
         if isinstance(value, (list, tuple)):
@@ -269,5 +290,6 @@ class ProjectorWrapper(nn.Module):
                     **kwargs, dtype=self.local_dtype,
                     flat_output=self.local_flat,
                     lane_multiple=self.local_lane_multiple if self.local_flat else 1,
+                    emit_logits=self.local_emit_logits and self.local_flat,
                     name=name)(features[name])
         return out

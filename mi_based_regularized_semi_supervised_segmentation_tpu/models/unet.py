@@ -151,6 +151,19 @@ class UNet(nn.Module):
         return logits
 
 
+def weight_norm(params) -> "OrderedDict[str, float]":
+    """Per-parameter L2 norms keyed by dotted path — the reference's
+    UNet.weight_norm() debug dump (contrastyou/arch/unet.py:196-200)."""
+    from collections import OrderedDict
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = OrderedDict()
+    for path, leaf in flat:
+        name = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        out[name] = float(jnp.linalg.norm(jnp.asarray(leaf, jnp.float32)))
+    return out
+
+
 def component_param_filter(names: Sequence[str]):
     """Path-filter for freezing reference-named components
     (mirrors UNet.enable_grad(from_, util), unet.py:135-182): returns a

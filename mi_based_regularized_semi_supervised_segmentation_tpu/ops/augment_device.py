@@ -64,6 +64,26 @@ def crop_batch(images: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, crop: int)
     return jax.vmap(one)(images, ys, xs)
 
 
+def _crop_offsets_in_window(
+    key: jax.Array, n: int, size: jnp.ndarray, start: jnp.ndarray,
+    crop: int, canvas: int,
+) -> jnp.ndarray:
+    """Per-sample crop offsets confined to each slice's valid window.
+
+    size/start: [B] valid extent and canvas offset along one axis. When the
+    window is at least ``crop`` wide the crop lies fully inside it (reference
+    RandomCrop: never samples padding); when narrower, the crop contains the
+    whole window with the residual padding randomly distributed (PIL
+    pad-if-needed semantics)."""
+    lo = jnp.where(size >= crop, start, start + size - crop)
+    hi = jnp.where(size >= crop, start + size - crop, start)
+    lo = jnp.clip(lo, 0, canvas - crop)
+    hi = jnp.clip(hi, lo, canvas - crop)
+    u = jax.random.uniform(key, (n,))
+    off = lo + jnp.floor(u * (hi - lo + 1).astype(jnp.float32)).astype(jnp.int32)
+    return jnp.clip(off, lo, hi)
+
+
 def augment_pair_batch(
     key: jax.Array,
     images: jnp.ndarray,   # [B, H, W] uint8 or float
@@ -72,9 +92,15 @@ def augment_pair_batch(
     rotation: float = 45.0,
     jitter: Optional[Tuple[float, float]] = (0.5, 1.5),
     flips: bool = True,
+    valid_hw: Optional[jnp.ndarray] = None,   # [B, 2] valid (h, w) per slice
+    offsets: Optional[jnp.ndarray] = None,    # [B, 2] canvas (top, left)
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full reference-pretrain augmentation, synchronized image/label.
-    Returns (image [B, crop, crop, 1] float32 in [0,~1.5], label [B, crop, crop])."""
+    Returns (image [B, crop, crop, 1] float32 in [0,~1.5], label [B, crop, crop]).
+
+    valid_hw/offsets (from DeviceDataStore) confine random crops to each
+    slice's valid window on the padded canvas — reference RandomCrop
+    semantics over mixed-size slices."""
     B, H, W = images.shape
     k_rot, k_v, k_h, k_y, k_x, k_b, k_c = jax.random.split(key, 7)
     img = images.astype(jnp.float32)
@@ -93,8 +119,17 @@ def augment_pair_batch(
         img = flip_batch(img, v, h)
         if lab is not None:
             lab = flip_batch(lab, v, h)
-    ys = jax.random.randint(k_y, (B,), 0, max(H - crop, 0) + 1)
-    xs = jax.random.randint(k_x, (B,), 0, max(W - crop, 0) + 1)
+        if offsets is not None:
+            # flipping the canvas moves the valid window: top -> H - top - h
+            top = jnp.where(v, H - offsets[:, 0] - valid_hw[:, 0], offsets[:, 0])
+            left = jnp.where(h, W - offsets[:, 1] - valid_hw[:, 1], offsets[:, 1])
+            offsets = jnp.stack([top, left], axis=1)
+    if valid_hw is not None and offsets is not None:
+        ys = _crop_offsets_in_window(k_y, B, valid_hw[:, 0], offsets[:, 0], crop, H)
+        xs = _crop_offsets_in_window(k_x, B, valid_hw[:, 1], offsets[:, 1], crop, W)
+    else:
+        ys = jax.random.randint(k_y, (B,), 0, max(H - crop, 0) + 1)
+        xs = jax.random.randint(k_x, (B,), 0, max(W - crop, 0) + 1)
     img = crop_batch(img, ys, xs, crop)
     if lab is not None:
         lab = crop_batch(lab, ys, xs, crop)

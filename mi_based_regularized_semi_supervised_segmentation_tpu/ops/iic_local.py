@@ -315,6 +315,29 @@ def iid_segmentation_small_patch_loss_flat(
     )
 
 
+def iid_segmentation_loss_fused_logits(
+    l1: jnp.ndarray,
+    l2: jnp.ndarray,
+    S: int,
+    K: int,
+    padding: int,
+    lamb: float = 1.0,
+    T: float = 1.0,
+) -> jnp.ndarray:
+    """Displaced-MI loss straight from PRE-PADDED lane-width LOGIT canvases
+    [B, Hp, Wp, 128] — the fused Pallas path: group softmax, border masking,
+    and the joint run in one kernel pass; probabilities never touch HBM
+    (see ops/pallas/mi_fused.py). Semantics == group_softmax_flat + border
+    mask + iid_segmentation_loss (single full-map tile, the headline
+    patch_sizes=1024 config)."""
+    from .pallas.mi_fused import displaced_joint_softmax_pallas
+
+    flat = displaced_joint_softmax_pallas(l1, l2, padding, S, K, T)
+    joint = _block_diagonal_subheads(flat[:, :, :S * K, :S * K], S, K)
+    per_subhead = jax.vmap(lambda j: mi_from_joint(j, lamb), in_axes=2)(joint)
+    return jnp.mean(per_subhead)
+
+
 def _block_diagonal_subheads(flat_joint: jnp.ndarray, S: int, K: int) -> jnp.ndarray:
     """[T, T, S*K, S*K] -> per-subhead diagonal blocks [T, T, S, K, K]."""
     T = flat_joint.shape[0]

@@ -5,6 +5,9 @@ from .mesh import (
     shard_batch,
     replicate_state,
     prefetch_to_device,
+    initialize_multihost,
+    make_multihost_mesh,
+    local_batch_slice,
 )
 
 __all__ = [
@@ -14,4 +17,7 @@ __all__ = [
     "shard_batch",
     "replicate_state",
     "prefetch_to_device",
+    "initialize_multihost",
+    "make_multihost_mesh",
+    "local_batch_slice",
 ]

@@ -39,6 +39,58 @@ def make_mesh(
     return Mesh(devices, (data_axis,))
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) bring-up: `jax.distributed.initialize`, the TPU-pod
+    equivalent of the comm layer the reference never had (SURVEY §2.9/§5).
+    On Cloud TPU the arguments are auto-detected from the metadata server;
+    pass them explicitly elsewhere. Idempotent: a second call is a no-op."""
+    import jax
+
+    state = getattr(jax._src.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_mesh(
+    data_axis: str = "data",
+    devices: Optional[Sequence[Any]] = None,
+    process_count: Optional[int] = None,
+) -> Mesh:
+    """Process-count-aware mesh over ALL global devices (call after
+    `initialize_multihost`). The data axis is laid out process-major —
+    device order from `jax.devices()` groups by process, so each host's
+    batch shard rides ICI locally and only gradient all-reduce crosses DCN.
+
+    `devices`/`process_count` are injectable for single-process testing."""
+    devices = np.asarray(list(devices if devices is not None else jax.devices()))
+    n_proc = process_count if process_count is not None else jax.process_count()
+    assert len(devices) % n_proc == 0, (len(devices), n_proc)
+    return Mesh(devices, (data_axis,))
+
+
+def local_batch_slice(global_batch: int, process_id: Optional[int] = None,
+                      process_count: Optional[int] = None) -> slice:
+    """The half-open row range of the global batch this process feeds
+    (multi-host data loading: each host materializes only its slice)."""
+    n_proc = process_count if process_count is not None else jax.process_count()
+    pid = process_id if process_id is not None else jax.process_index()
+    assert global_batch % n_proc == 0, (global_batch, n_proc)
+    per = global_batch // n_proc
+    return slice(pid * per, (pid + 1) * per)
+
+
 def batch_sharding(mesh: Mesh, data_axis: str = "data",
                    space_axis: Optional[str] = None) -> NamedSharding:
     """Batch on the data axis; optionally H on the space axis."""
@@ -52,15 +104,16 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh],
-                data_axis: str = "data") -> Dict[str, Any]:
+                data_axis: Optional[str] = None) -> Dict[str, Any]:
     """Device-put array values of a host batch, sharded on axis 0. Non-array
-    values (filenames, groups) pass through untouched."""
+    values (filenames, groups) pass through untouched. ``data_axis`` defaults
+    to the mesh's first axis (whatever Parallel.data_axis named it)."""
     out: Dict[str, Any] = {}
     if mesh is None:
         for k, v in batch.items():
             out[k] = jax.device_put(v) if isinstance(v, np.ndarray) else v
         return out
-    sharding = NamedSharding(mesh, P(data_axis))
+    sharding = NamedSharding(mesh, P(data_axis or mesh.axis_names[0]))
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1:
             out[k] = jax.device_put(v, sharding)

@@ -82,6 +82,43 @@ def test_augment_pair_batch_sync(rng):
     np.testing.assert_array_equal(np.asarray(out_img), np.asarray(out_img2))
 
 
+def test_crop_confined_to_valid_window(rng):
+    """Mixed-size slices on a padded canvas: random crops never contain
+    canvas padding when the slice is big enough (reference RandomCrop), and
+    contain the WHOLE slice when it is smaller than the crop (pad-if-needed)."""
+    B, H, W, crop = 6, 96, 96, 32
+    sizes = [(96, 96), (64, 40), (40, 64), (33, 33), (20, 80), (16, 16)]
+    img = np.zeros((B, H, W), np.uint8)
+    valid_hw = np.zeros((B, 2), np.int32)
+    offsets = np.zeros((B, 2), np.int32)
+    for i, (h, w) in enumerate(sizes):
+        top, left = (H - h) // 2, (W - w) // 2
+        img[i, top:top + h, left:left + w] = 255  # valid pixels = 255, pad = 0
+        valid_hw[i] = (h, w)
+        offsets[i] = (top, left)
+    for seed in range(8):
+        out, _ = augment_pair_batch(
+            jax.random.PRNGKey(seed), jnp.asarray(img), None, crop=crop,
+            rotation=0.0, jitter=None, flips=True,
+            valid_hw=jnp.asarray(valid_hw), offsets=jnp.asarray(offsets),
+        )
+        out = np.asarray(out[..., 0])
+        for i, (h, w) in enumerate(sizes):
+            n_valid = int(np.sum(out[i] == 1.0))
+            if h >= crop and w >= crop:
+                assert n_valid == crop * crop, (seed, i, n_valid)
+            else:
+                # crop contains the full valid region (+ unavoidable padding)
+                assert n_valid == min(h, crop) * min(w, crop), (seed, i, n_valid)
+
+
+def test_device_store_stages_valid_windows(data_root):
+    ds = ACDCDataset(data_root, "train")
+    store = DeviceDataStore(ds)
+    np.testing.assert_array_equal(np.asarray(store.valid_hw_dev), store.valid_hw)
+    np.testing.assert_array_equal(np.asarray(store.offsets_dev), store.offsets)
+
+
 def test_device_store_and_loaders(data_root):
     ds = ACDCDataset(data_root, "train")
     store = DeviceDataStore(ds)

@@ -60,8 +60,10 @@ def test_set_learning_rate_no_recompile():
     tx = build_optimizer({"name": "Adam", "lr": 1e-3})
     params = {"w": jnp.zeros(3)}
     state = tx.init(params)
-    set_learning_rate(state, 5e-4)
-    updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
+    new_state = set_learning_rate(state, 5e-4)
+    # functional: the original state is untouched
+    assert np.isclose(float(state.hyperparams["lr"]), 1e-3)
+    updates, _ = tx.update({"w": jnp.ones(3)}, new_state, params)
     assert np.isclose(float(updates["w"][0]), -5e-4, rtol=1e-2)
 
 
@@ -261,3 +263,26 @@ def test_extension_modes(mode, kwargs, rng):
         np.testing.assert_allclose(tea, stu * (1 - 1e-6), rtol=1e-5)
     if mode == "entropy":
         assert float(m["entropy"]) > 0
+
+
+def test_meanteacher_dedicated_teacher_batch_stats(rng):
+    """The teacher maintains its OWN BN running stats, evolved by its
+    train-mode forward on the plain unlabeled view — distinct from the
+    student's stats (reference ema_updater BN buffer mixing, ema.py:7-130)."""
+    model = UNet(input_dim=1, num_classes=3)
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(model, tx, (1, 32, 32, 1), seed=0, with_ema=True)
+    step = build_train_step(model, tx, "meanteacher", num_classes=3,
+                            uda_criterion="mse", reg_weight=10.0)
+    def leaves(tree):
+        return [np.asarray(x) for x in jax.tree_util.tree_leaves(jax.device_get(tree))]
+
+    t0 = leaves(state.ema_params["batch_stats"])  # before: the step donates state
+    state2, _ = step(state, _batch(rng))
+    t1 = leaves(state2.ema_params["batch_stats"])
+    s1 = leaves(state2.batch_stats)
+    # teacher stats moved from init...
+    assert any(not np.allclose(a, b) for a, b in zip(t0, t1))
+    # ...and differ from the student's (student saw the mixed 3-part batch,
+    # teacher only the plain unlabeled view)
+    assert any(not np.allclose(a, b) for a, b in zip(s1, t1))

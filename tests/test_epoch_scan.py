@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full loops; deselect with -m 'not slow'
 
 from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
     ACDCDataset,

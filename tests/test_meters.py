@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from mi_based_regularized_semi_supervised_segmentation_tpu.utils import (
     AverageValueMeter,
@@ -83,6 +84,57 @@ def test_surface_meter_hausdorff():
     c[0, 6:10, 4:8] = 1  # shifted by 2
     m2.add(a, c)
     assert m2.summary()["hausdorff1"] >= 2.0
+
+
+def _brute_surface_distances(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """O(n^2) oracle for medpy's __surface_distances semantics (border via
+    4-connected erosion with border_value=0; exact Euclidean distance from
+    each a-border voxel to the NEAREST b-border voxel)."""
+
+    def border(m):
+        m = m.astype(bool)
+        pad = np.pad(m, 1, constant_values=False)
+        inner = (
+            pad[:-2, 1:-1] & pad[2:, 1:-1] & pad[1:-1, :-2] & pad[1:-1, 2:] & m
+        )
+        return np.argwhere(m & ~inner)
+
+    pa, pb = border(a), border(b)
+    d = np.sqrt(((pa[:, None, :] - pb[None, :, :]) ** 2).sum(-1))
+    return d.min(axis=1)
+
+
+@pytest.mark.parametrize("method", ["hausdorff", "hd95", "assd"])
+def test_surface_meter_matches_bruteforce_oracle(method, rng):
+    """scipy-EDT SurfaceMeter == brute-force surface-distance oracle (the
+    medpy parity check: medpy isn't installed here, but its documented
+    algorithm — erosion borders + EDT — is reproduced exactly)."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils.meters import (
+        _surface_distances,
+    )
+
+    for _ in range(5):
+        a = np.zeros((24, 24), bool)
+        b = np.zeros((24, 24), bool)
+        ya, xa = rng.integers(2, 10, 2)
+        yb, xb = rng.integers(2, 10, 2)
+        a[ya:ya + rng.integers(3, 10), xa:xa + rng.integers(3, 10)] = True
+        b[yb:yb + rng.integers(3, 10), xb:xb + rng.integers(3, 10)] = True
+        got = np.sort(_surface_distances(a, b))
+        want = np.sort(_brute_surface_distances(a, b))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        m = SurfaceMeter(C=2, report_axises=[1], metername=method)
+        m.add(a.astype(int), b.astype(int))  # 2D: border semantics match oracle
+        d_ab = _brute_surface_distances(a, b)
+        d_ba = _brute_surface_distances(b, a)
+        if method == "hausdorff":
+            expect = max(d_ab.max(), d_ba.max())
+        elif method == "hd95":
+            expect = max(np.percentile(d_ab, 95), np.percentile(d_ba, 95))
+        else:
+            expect = (d_ab.sum() + d_ba.sum()) / (len(d_ab) + len(d_ba))
+        np.testing.assert_allclose(m.summary()[f"{method}1"], expect, atol=1e-6)
 
 
 def test_meter_interface_and_storage(tmp_path):

@@ -98,13 +98,12 @@ def test_prefetch_to_device_order():
         assert float(np.asarray(b["image"])[0, 0]) == i
 
 
-def test_epoch_scan_under_mesh(tmp_path, rng):
-    """Whole-epoch lax.scan program with batch indices sharded over the mesh;
-    device store replicated implicitly."""
-    from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
-        ACDCDataset,
-        generate_synthetic_acdc,
-    )
+def _scan_setup(tmp_path, mesh, rng_idx):
+    """Epoch-scan over a device store, optionally mesh-sharded. Returns the
+    final state + stacked metrics for 2 scan steps of batch 8."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data import ACDCDataset
     from mi_based_regularized_semi_supervised_segmentation_tpu.data.device_pipeline import (
         DeviceDataStore,
     )
@@ -112,38 +111,90 @@ def test_epoch_scan_under_mesh(tmp_path, rng):
         build_epoch_scan,
     )
 
-    generate_synthetic_acdc(str(tmp_path), num_train_patients=4, num_val_patients=2,
-                            slices_per_patient=4, size=64)
-    store = DeviceDataStore(ACDCDataset(str(tmp_path), "train"))
-    mesh = make_mesh(8)
+    store = DeviceDataStore(ACDCDataset(str(tmp_path), "train"), mesh=mesh)
     model = UNet(input_dim=1, num_classes=4)
     tx = build_optimizer({"name": "Adam", "lr": 1e-3})
     state = init_train_state(model, tx, (1, 32, 32, 1), seed=0)
     state = replicate_state(state, mesh)
-    raw = build_train_step(model, tx, "partial", num_classes=4, jit=False,
+    raw = build_train_step(model, tx, "uda", num_classes=4, jit=False,
+                           uda_criterion="mse", reg_weight=5.0,
                            data_store={"labeled": store, "unlabeled": store}, crop=32)
     epoch_fn = build_epoch_scan(raw, num_batches=2)
-    batches = shard_batch(
-        {
-            # batch dims divisible by 8 for clean sharding on axis 1
-            "labeled_indices": rng.integers(0, 16, (2, 8)).astype(np.int32),
-            "unlabeled_indices": rng.integers(0, 16, (2, 8)).astype(np.int32),
-        },
-        None,
-    )
+    batches = {
+        "labeled_indices": rng_idx["lab"],
+        "unlabeled_indices": rng_idx["unlab"],
+    }
+    if mesh is not None:
+        # the fast-path contract: [num_batches, B] index tensors PARTITIONED
+        # on the data axis (axis 1); the store is replicated
+        sharding = NamedSharding(mesh, P(None, "data"))
+        batches = {k: jax.device_put(v, sharding) for k, v in batches.items()}
+    else:
+        batches = {k: jnp.asarray(v) for k, v in batches.items()}
     state2, stacked = epoch_fn(state, batches)
-    assert int(jax.device_get(state2.step)) == 2
-    assert np.all(np.isfinite(np.asarray(jax.device_get(stacked["sup_loss"]))))
+    return state2, jax.device_get(stacked)
 
 
+def test_epoch_scan_sharded_matches_single_device(tmp_path, rng):
+    """The device-data + epoch-scan FAST PATH is mesh-true: batch indices
+    partitioned on the data axis produce numerics identical to the
+    single-device scan (global BN stats + grad all-reduce under GSPMD)."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
+        generate_synthetic_acdc,
+    )
+
+    generate_synthetic_acdc(str(tmp_path), num_train_patients=4, num_val_patients=2,
+                            slices_per_patient=4, size=64)
+    idx = {
+        "lab": rng.integers(0, 16, (2, 8)).astype(np.int32),
+        "unlab": rng.integers(0, 16, (2, 8)).astype(np.int32),
+    }
+    state1, m1 = _scan_setup(tmp_path, None, idx)
+    state8, m8 = _scan_setup(tmp_path, make_mesh(8), idx)
+    assert int(jax.device_get(state8.step)) == 2
+    # step 1 is bit-comparable; step 2 compounds Adam's normalization of
+    # near-zero grads over fp32 reduction-order differences -> 1e-3 band
+    np.testing.assert_allclose(m1["sup_loss"], m8["sup_loss"], rtol=1e-3)
+    np.testing.assert_allclose(m1["total_loss"], m8["total_loss"], rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state8.params))):
+        # Adam normalizes near-zero grads to full +-lr steps, so a reduction-
+        # order sign flip can diverge by 2*lr per step: bound = 2 steps * 2e-3
+        np.testing.assert_allclose(a, b, rtol=0, atol=4.1e-3)
+
+
+def test_multihost_mesh_mocked_process_count():
+    """Process-count-aware mesh builder (multi-host readiness): 8 virtual
+    devices laid out as 4 processes x 2 local devices."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.parallel import (
+        local_batch_slice,
+        make_multihost_mesh,
+    )
+
+    mesh = make_multihost_mesh(devices=jax.devices(), process_count=4)
+    assert mesh.axis_names == ("data",)
+    assert mesh.devices.shape == (8,)
+    # uneven process split rejected
+    with pytest.raises(AssertionError):
+        make_multihost_mesh(devices=jax.devices()[:6], process_count=4)
+    # each process feeds its contiguous slice of the global batch
+    assert local_batch_slice(16, process_id=0, process_count=4) == slice(0, 4)
+    assert local_batch_slice(16, process_id=3, process_count=4) == slice(12, 16)
+    with pytest.raises(AssertionError):
+        local_batch_slice(10, process_id=0, process_count=4)
+
+
+@pytest.mark.slow  # compiles the full 224^2 udaiic step on XLA:CPU (minutes)
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    assert out.shape == (4, 224, 224, 4)
+    new_state, metrics = jax.jit(fn)(*args)
+    assert np.isfinite(float(jax.device_get(metrics["total_loss"])))
+    assert int(jax.device_get(new_state.step)) == 1
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 

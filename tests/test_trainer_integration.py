@@ -4,6 +4,8 @@ checkpointing, resume, device-data + epoch-scan path."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full loops; deselect with -m 'not slow'
+
 from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
     ACDCStrongTransforms,
     PatientEvalLoader,
@@ -68,11 +70,8 @@ def test_partial_trainer_full_loop(setup, tmp_path):
     root, loaders = setup
     Trainer = trainer_zoos["partial"]
     t = Trainer(configuration=_config("partial", tmp_path), save_dir="t_partial",
-                max_epoch=2, num_batches=2, crop_size=CROP, **loaders)
-    t.RUN_DIR = str(tmp_path)
-    t._save_dir = str(tmp_path / "t_partial")
-    import pathlib
-    pathlib.Path(t._save_dir).mkdir(parents=True, exist_ok=True)
+                max_epoch=2, num_batches=2, crop_size=CROP,
+                run_dir=str(tmp_path), **loaders)
     t.init()
     best = t.start_training()
     assert np.isfinite(best) and 0 <= best <= 1
@@ -86,8 +85,8 @@ def test_partial_trainer_full_loop(setup, tmp_path):
 
     # resume: continues from epoch 2
     t2 = Trainer(configuration=_config("partial", tmp_path), save_dir="t_partial",
-                 max_epoch=3, num_batches=2, crop_size=CROP, **loaders)
-    t2._save_dir = str(tmp_path / "t_partial")
+                 max_epoch=3, num_batches=2, crop_size=CROP,
+                 run_dir=str(tmp_path), **loaders)
     t2.init()
     t2.load_state_dict_from_path(str(tmp_path / "t_partial"), strict=True)
     assert t2._start_epoch == 2
@@ -102,10 +101,7 @@ def test_udaiic_trainer_device_data_scan(setup, tmp_path):
     cfg = _config("udaiic", tmp_path)
     cfg["Trainer"]["device_data"] = True
     t = Trainer(configuration=cfg, save_dir="t_udaiic", max_epoch=1,
-                num_batches=2, crop_size=CROP, **loaders)
-    t._save_dir = str(tmp_path / "t_udaiic")
-    import pathlib
-    pathlib.Path(t._save_dir).mkdir(parents=True, exist_ok=True)
+                num_batches=2, crop_size=CROP, run_dir=str(tmp_path), **loaders)
     t.init()
     assert t._epoch_scan
     best = t.start_training()
