@@ -25,20 +25,50 @@ from pathlib import Path
 import numpy as np
 
 
+_NIFTI_DTYPES = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 64: np.float64,
+    256: np.int8, 512: np.uint16, 768: np.uint32,
+}
+
+
+def _load_nifti_numpy(path: Path) -> np.ndarray:
+    """Minimal pure-numpy NIfTI-1 reader (.nii / .nii.gz): 348-byte header
+    (dim at +40, datatype at +70, vox_offset at +108, scl at +112/+116,
+    magic at +344), Fortran-ordered voxel block. Enough for ACDC volumes —
+    no external nifti dependency needed."""
+    import gzip
+
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as f:
+        raw = f.read()
+    hdr = raw[:348]
+    sizeof = np.frombuffer(hdr, "<i4", count=1, offset=0)[0]
+    byteorder = "<" if sizeof == 348 else ">"
+    dim = np.frombuffer(hdr, f"{byteorder}i2", count=8, offset=40)
+    datatype = int(np.frombuffer(hdr, f"{byteorder}i2", count=1, offset=70)[0])
+    vox_offset = int(np.frombuffer(hdr, f"{byteorder}f4", count=1, offset=108)[0])
+    scl_slope = float(np.frombuffer(hdr, f"{byteorder}f4", count=1, offset=112)[0])
+    scl_inter = float(np.frombuffer(hdr, f"{byteorder}f4", count=1, offset=116)[0])
+    magic = hdr[344:348]
+    assert magic[:3] in (b"n+1", b"ni1"), f"not a NIfTI-1 file: {path}"
+    ndim = int(dim[0])
+    shape = tuple(int(d) for d in dim[1:1 + ndim])
+    dt = np.dtype(_NIFTI_DTYPES[datatype]).newbyteorder(byteorder)
+    n = int(np.prod(shape))
+    data = np.frombuffer(raw, dt, count=n, offset=vox_offset or 352)
+    vol = data.reshape(shape, order="F")
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        vol = vol * (scl_slope or 1.0) + scl_inter
+    return np.ascontiguousarray(vol)
+
+
 def load_nifti(path: Path):
     try:
-        import nibabel as nib  # optional dependency
+        import nibabel as nib  # preferred when available
 
         return np.asanyarray(nib.load(str(path)).dataobj)
     except ImportError:
-        try:
-            from medpy.io import load as medpy_load
-
-            return medpy_load(str(path))[0]
-        except ImportError as e:
-            raise SystemExit(
-                "Need nibabel or medpy to read nifti files; neither found"
-            ) from e
+        return _load_nifti_numpy(path)
 
 
 def main() -> None:

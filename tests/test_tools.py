@@ -36,6 +36,47 @@ def test_report_aggregates_and_sorts(tmp_path):
     assert csv_out.splitlines()[0].startswith("run,epochs,best_")
 
 
+def _write_nifti(path: Path, vol, gz=False):
+    """Hand-rolled NIfTI-1 writer for testing the pure-numpy reader."""
+    import gzip
+
+    import numpy as np
+
+    hdr = bytearray(352)
+    hdr[0:4] = np.int32(348).tobytes()
+    dim = np.zeros(8, np.int16)
+    dim[0] = vol.ndim
+    dim[1:1 + vol.ndim] = vol.shape
+    hdr[40:56] = dim.tobytes()
+    hdr[70:72] = np.int16(16).tobytes()  # float32
+    hdr[72:74] = np.int16(32).tobytes()
+    hdr[108:112] = np.float32(352).tobytes()
+    hdr[112:116] = np.float32(1.0).tobytes()
+    hdr[116:120] = np.float32(0.0).tobytes()
+    hdr[344:348] = b"n+1\x00"
+    blob = bytes(hdr) + np.asfortranarray(vol.astype(np.float32)).tobytes(order="F")
+    if gz:
+        with gzip.open(path, "wb") as f:
+            f.write(blob)
+    else:
+        path.write_bytes(blob)
+
+
+def test_pure_numpy_nifti_reader(tmp_path):
+    import numpy as np
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from preprocess_acdc import _load_nifti_numpy
+
+    vol = np.random.default_rng(0).random((7, 9, 5)).astype(np.float32)
+    p = tmp_path / "v.nii"
+    _write_nifti(p, vol)
+    np.testing.assert_array_equal(_load_nifti_numpy(p), vol)
+    pgz = tmp_path / "v.nii.gz"
+    _write_nifti(pgz, vol, gz=True)
+    np.testing.assert_array_equal(_load_nifti_numpy(pgz), vol)
+
+
 def test_plot_curves_writes_png(tmp_path):
     d = _fake_run(tmp_path, "a", 0.5)
     out = tmp_path / "c.png"
