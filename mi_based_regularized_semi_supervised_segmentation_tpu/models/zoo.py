@@ -1,0 +1,299 @@
+"""Architecture registry + alternative segmentation model families.
+
+Reference surface: the deepclustering2 wheel's arch registry
+(WHEEL::deepclustering2/arch/__init__.py: ARCH_CALLABLES / get_arch /
+_register_arch, registering "enet" and "unet"; the project side-registers
+the headline U-Net as "ContrastUnet", contrastyou/arch/__init__.py:1-4).
+
+TPU-first re-designs, not translations:
+- ENet (WHEEL::…/efficient_net/enet.py): initial block + bottleneck
+  stacks with dilated/asymmetric variants. The reference upsamples with
+  max-unpooling via pooled indices — index scatter is hostile to XLA, so
+  the decoder here uses resize + conv (the modern ENet-derivative choice),
+  keeping the channel plan and stage layout.
+- Attention U-Net (WHEEL::…/unet/attention_unet.py): additive attention
+  gates on the skip connections of the same 4-down/4-up U-Net skeleton.
+- VNet (WHEEL::…/threedim/vnet.py): 3-D residual encoder/decoder with
+  strided-conv down / transposed-conv up, NDHWC layout.
+
+All models are flax modules with NHWC/NDHWC layouts, bf16-capable via
+``dtype``/``bn_dtype``, jit/vmap/pjit-friendly by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .unet import UNet
+
+
+def _resize2x(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+
+ARCH_CALLABLES: Dict[str, Callable] = {}
+
+
+def register_arch(name: str, callable_: Callable) -> None:
+    ARCH_CALLABLES[name.lower()] = callable_
+
+
+def get_arch(arch: str, kwargs: Dict[str, Any]):
+    """Reference get_arch surface: name -> constructed module."""
+    kwargs = dict(kwargs)
+    kwargs.pop("arch", None)
+    fn = ARCH_CALLABLES.get(arch.lower())
+    assert fn is not None, f"Architecture {arch} is not found!"
+    return fn(**kwargs)
+
+
+# --------------------------------------------------------------------------
+# ENet
+# --------------------------------------------------------------------------
+class _ENetInitial(nn.Module):
+    """Conv(stride 2, cout-input_dim ch) || maxpool branch -> 16 channels."""
+
+    out: int = 16
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        cin = x.shape[-1]
+        conv = nn.Conv(self.out - cin, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+        conv = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-3, dtype=self.bn_dtype, name="bn")(conv)
+        conv = nn.PReLU()(conv)
+        pool = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return jnp.concatenate([conv, pool], axis=-1)
+
+
+class _Bottleneck(nn.Module):
+    """ENet bottleneck: 1x1 in -> (conv | dilated | asymmetric 5x1/1x5 |
+    strided) -> 1x1 out, residual add, PReLU. Downsampling pools the
+    residual branch and pads channels."""
+
+    out: int
+    downsample: bool = False
+    dilation: int = 1
+    asymmetric: bool = False
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        internal = self.out // 4
+
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-3, dtype=self.bn_dtype, name=name)(h)
+
+        stride = (2, 2) if self.downsample else (1, 1)
+        h = nn.Conv(internal, (2, 2) if self.downsample else (1, 1),
+                    strides=stride, use_bias=False, dtype=self.dtype,
+                    padding="VALID" if self.downsample else "SAME",
+                    name="proj_in")(x)
+        h = nn.PReLU()(bn(h, "bn1"))
+        if self.asymmetric:
+            h = nn.Conv(internal, (5, 1), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name="conv5x1")(h)
+            h = nn.Conv(internal, (1, 5), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name="conv1x5")(h)
+        else:
+            h = nn.Conv(internal, (3, 3), padding="SAME",
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, dtype=self.dtype, name="conv")(h)
+        h = nn.PReLU()(bn(h, "bn2"))
+        h = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="proj_out")(h)
+        h = bn(h, "bn3")
+        h = nn.Dropout(self.dropout, deterministic=not train,
+                       name="drop")(h)
+
+        res = x
+        if self.downsample:
+            res = nn.max_pool(res, (2, 2), strides=(2, 2))
+        if res.shape[-1] != self.out:
+            pad = self.out - res.shape[-1]
+            res = jnp.pad(res, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        return nn.PReLU()(h + res)
+
+
+class _ENetUp(nn.Module):
+    """Upsampling bottleneck: resize x2 + conv (replaces the reference's
+    max-unpool index scatter, which XLA handles poorly)."""
+
+    out: int
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = _resize2x(x)
+        x = nn.Conv(self.out, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=self.bn_dtype, name="bn")(x)
+        return nn.PReLU()(x)
+
+
+class ENet(nn.Module):
+    """ENet for 2-D segmentation (reference channel plan: 16 -> 64 -> 128,
+    stage 2/3 dilated + asymmetric mix, two-stage decoder)."""
+
+    input_dim: int = 1
+    num_classes: int = 4
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, bn_dtype=self.bn_dtype)
+        x = _ENetInitial(name="initial", **kw)(x, train=train)           # /2, 16
+        x = _Bottleneck(64, downsample=True, dropout=0.01, name="b1_0", **kw)(x, train=train)  # /4
+        for i in range(4):
+            x = _Bottleneck(64, dropout=0.01, name=f"b1_{i+1}", **kw)(x, train=train)
+        x = _Bottleneck(128, downsample=True, name="b2_0", **kw)(x, train=train)  # /8
+        for rep in range(2):
+            x = _Bottleneck(128, name=f"b2_{rep}_1", **kw)(x, train=train)
+            x = _Bottleneck(128, dilation=2, name=f"b2_{rep}_2", **kw)(x, train=train)
+            x = _Bottleneck(128, asymmetric=True, name=f"b2_{rep}_3", **kw)(x, train=train)
+            x = _Bottleneck(128, dilation=4, name=f"b2_{rep}_4", **kw)(x, train=train)
+        x = _ENetUp(64, name="up1", **kw)(x, train=train)                # /4
+        x = _Bottleneck(64, name="b4_1", **kw)(x, train=train)
+        x = _ENetUp(16, name="up2", **kw)(x, train=train)                # /2
+        x = _Bottleneck(16, name="b5_1", **kw)(x, train=train)
+        x = _resize2x(x)                                                 # /1
+        return nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                       name="head")(x)
+
+
+# --------------------------------------------------------------------------
+# Attention U-Net
+# --------------------------------------------------------------------------
+class _AttentionGate(nn.Module):
+    """Additive attention gate (attention_unet.py): alpha = sigmoid(psi(relu(
+    W_g g + W_x x))); returns x * alpha."""
+
+    inter: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, g, x):
+        wg = nn.Conv(self.inter, (1, 1), use_bias=True, dtype=self.dtype,
+                     name="W_g")(g)
+        wx = nn.Conv(self.inter, (1, 1), use_bias=True, dtype=self.dtype,
+                     name="W_x")(x)
+        a = nn.relu(wg + wx)
+        a = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype, name="psi")(a)
+        return x * nn.sigmoid(a)
+
+
+class AttentionUNet(nn.Module):
+    """U-Net skeleton (same channel plan as models.unet.UNet) with attention
+    gates on every skip connection."""
+
+    input_dim: int = 1
+    num_classes: int = 4
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        from .unet import ConvBlock, UpConv
+
+        kw = dict(dtype=self.dtype, bn_dtype=self.bn_dtype)
+        e1 = ConvBlock(16, name="Conv1", **kw)(x, train=train)
+        e2 = ConvBlock(32, name="Conv2", **kw)(nn.max_pool(e1, (2, 2), (2, 2)), train=train)
+        e3 = ConvBlock(64, name="Conv3", **kw)(nn.max_pool(e2, (2, 2), (2, 2)), train=train)
+        e4 = ConvBlock(128, name="Conv4", **kw)(nn.max_pool(e3, (2, 2), (2, 2)), train=train)
+        e5 = ConvBlock(256, name="Conv5", **kw)(nn.max_pool(e4, (2, 2), (2, 2)), train=train)
+
+        d5 = UpConv(128, name="Up5", **kw)(e5, train=train)
+        a4 = _AttentionGate(64, dtype=self.dtype, name="Att5")(d5, e4)
+        d5 = ConvBlock(128, name="Up_conv5", **kw)(jnp.concatenate([a4, d5], -1), train=train)
+        d4 = UpConv(64, name="Up4", **kw)(d5, train=train)
+        a3 = _AttentionGate(32, dtype=self.dtype, name="Att4")(d4, e3)
+        d4 = ConvBlock(64, name="Up_conv4", **kw)(jnp.concatenate([a3, d4], -1), train=train)
+        d3 = UpConv(32, name="Up3", **kw)(d4, train=train)
+        a2 = _AttentionGate(16, dtype=self.dtype, name="Att3")(d3, e2)
+        d3 = ConvBlock(32, name="Up_conv3", **kw)(jnp.concatenate([a2, d3], -1), train=train)
+        d2 = UpConv(16, name="Up2", **kw)(d3, train=train)
+        a1 = _AttentionGate(8, dtype=self.dtype, name="Att2")(d2, e1)
+        d2 = ConvBlock(16, name="Up_conv2", **kw)(jnp.concatenate([a1, d2], -1), train=train)
+        return nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                       name="DeConv_1x1")(d2)
+
+
+# --------------------------------------------------------------------------
+# VNet (3-D)
+# --------------------------------------------------------------------------
+class _VNetStage(nn.Module):
+    """n x (conv5^3 + PReLU) with residual input add. NDHWC."""
+
+    ch: int
+    n_convs: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for i in range(self.n_convs):
+            h = nn.Conv(self.ch, (5, 5, 5), padding="SAME", dtype=self.dtype,
+                        name=f"conv{i}")(h)
+            h = nn.PReLU()(h)
+        if x.shape[-1] != self.ch:
+            reps = self.ch // x.shape[-1]
+            x = jnp.tile(x, (1,) * (x.ndim - 1) + (reps,))
+        return h + x
+
+
+class VNet(nn.Module):
+    """Compact VNet: strided-conv down (16->32->64->128), transposed-conv up
+    with skip concatenation, residual stages throughout."""
+
+    input_dim: int = 1
+    num_classes: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        del train  # no BN in VNet stages (PReLU residual blocks)
+        s1 = _VNetStage(16, 1, self.dtype, name="enc1")(x)
+        d1 = nn.PReLU()(nn.Conv(32, (2, 2, 2), strides=(2, 2, 2),
+                                dtype=self.dtype, name="down1")(s1))
+        s2 = _VNetStage(32, 2, self.dtype, name="enc2")(d1)
+        d2 = nn.PReLU()(nn.Conv(64, (2, 2, 2), strides=(2, 2, 2),
+                                dtype=self.dtype, name="down2")(s2))
+        s3 = _VNetStage(64, 3, self.dtype, name="enc3")(d2)
+        d3 = nn.PReLU()(nn.Conv(128, (2, 2, 2), strides=(2, 2, 2),
+                                dtype=self.dtype, name="down3")(s3))
+        s4 = _VNetStage(128, 3, self.dtype, name="bottom")(d3)
+
+        u3 = nn.PReLU()(nn.ConvTranspose(64, (2, 2, 2), strides=(2, 2, 2),
+                                         dtype=self.dtype, name="up3")(s4))
+        s5 = _VNetStage(128, 3, self.dtype, name="dec3")(
+            jnp.concatenate([u3, s3], axis=-1))
+        u2 = nn.PReLU()(nn.ConvTranspose(32, (2, 2, 2), strides=(2, 2, 2),
+                                         dtype=self.dtype, name="up2")(s5))
+        s6 = _VNetStage(64, 2, self.dtype, name="dec2")(
+            jnp.concatenate([u2, s2], axis=-1))
+        u1 = nn.PReLU()(nn.ConvTranspose(16, (2, 2, 2), strides=(2, 2, 2),
+                                         dtype=self.dtype, name="up1")(s6))
+        s7 = _VNetStage(32, 1, self.dtype, name="dec1")(
+            jnp.concatenate([u1, s1], axis=-1))
+        return nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32,
+                       name="head")(s7)
+
+
+register_arch("ContrastUnet", UNet)
+register_arch("unet", UNet)
+register_arch("enet", ENet)
+register_arch("attention_unet", AttentionUNet)
+register_arch("vnet", VNet)
