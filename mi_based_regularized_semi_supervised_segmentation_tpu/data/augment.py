@@ -195,3 +195,74 @@ class ACDCStrongTransforms:
     val = PairedTransform(rotation=0, vflip=False, hflip=False, crop=224,
                           center_crop=True, jitter=None)
     trainval = PairedTransform(rotation=0, vflip=False, hflip=False, crop=224, jitter=None)
+
+
+# ---------------------------------------------------------------------------
+# Functional transform zoo — the remaining pil_augment / tensor_augment
+# members (WHEEL::deepclustering2/augment/pil_augment.py:Identity/Resize/
+# SobelProcess/RandomApply/RandomChoice, tensor_augment.py:GaussianNoise),
+# as pure numpy ops on [H, W] arrays.
+# ---------------------------------------------------------------------------
+
+def resize(arr: np.ndarray, size: Tuple[int, int], order: str = "bilinear") -> np.ndarray:
+    """Resize [H, W] to (th, tw); 'nearest' keeps label maps integral."""
+    th, tw = size
+    h, w = arr.shape
+    if order == "nearest":
+        ys = np.clip(np.round(np.linspace(0, h - 1, th)).astype(int), 0, h - 1)
+        xs = np.clip(np.round(np.linspace(0, w - 1, tw)).astype(int), 0, w - 1)
+        return np.ascontiguousarray(arr[np.ix_(ys, xs)])
+    ys = np.linspace(0, h - 1, th)
+    xs = np.linspace(0, w - 1, tw)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    a = arr.astype(np.float32)
+    top = a[np.ix_(y0, x0)] * (1 - wx) + a[np.ix_(y0, x1)] * wx
+    bot = a[np.ix_(y1, x0)] * (1 - wx) + a[np.ix_(y1, x1)] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def sobel(arr: np.ndarray) -> np.ndarray:
+    """Sobel gradient magnitude (SobelProcess) of an [H, W] image."""
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+    ky = kx.T
+    a = np.pad(arr.astype(np.float32), 1, mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(a, (3, 3))
+    gx = np.einsum("hwij,ij->hw", win, kx)
+    gy = np.einsum("hwij,ij->hw", win, ky)
+    return np.sqrt(gx * gx + gy * gy)
+
+
+def gaussian_noise(arr: np.ndarray, rng: np.random.Generator, std: float = 0.1) -> np.ndarray:
+    """Additive gaussian noise (tensor_augment GaussianNoise)."""
+    return arr.astype(np.float32) + rng.normal(0.0, std, arr.shape).astype(np.float32)
+
+
+class Identity:
+    def __call__(self, arr, *_args, **_kw):
+        return arr
+
+
+class RandomApply:
+    """Apply ``fn`` with probability p (pil_augment RandomApply)."""
+
+    def __init__(self, fn, p: float = 0.5) -> None:
+        self.fn = fn
+        self.p = float(p)
+
+    def __call__(self, arr, rng: np.random.Generator):
+        return self.fn(arr) if rng.random() < self.p else arr
+
+
+class RandomChoice:
+    """Apply one uniformly-chosen member (pil_augment RandomChoice)."""
+
+    def __init__(self, fns) -> None:
+        self.fns = list(fns)
+
+    def __call__(self, arr, rng: np.random.Generator):
+        return self.fns[int(rng.integers(len(self.fns)))](arr)

@@ -166,3 +166,43 @@ def test_get_dataloaders_surface(data_root):
     assert next(iter(lab))["image"].shape == (2, 224, 224, 1)
     assert next(iter(unlab))["image"].shape == (3, 224, 224, 1)
     assert len(val) == 5  # 5 val patients carved from the 6 unlabeled patients
+
+
+def test_transform_zoo_members(rng):
+    """Functional zoo: resize / sobel / noise / RandomApply / RandomChoice
+    (pil_augment + tensor_augment remaining members)."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data.augment import (
+        Identity,
+        RandomApply,
+        RandomChoice,
+        gaussian_noise,
+        resize,
+        sobel,
+    )
+
+    img = rng.random((17, 23)).astype(np.float32)
+    lab = rng.integers(0, 4, (17, 23))
+
+    r = resize(img, (8, 8))
+    assert r.shape == (8, 8) and np.isfinite(r).all()
+    rn = resize(lab, (8, 8), order="nearest")
+    assert set(np.unique(rn)) <= set(np.unique(lab))  # labels stay integral
+    # identity-size resize reproduces the input
+    np.testing.assert_allclose(resize(img, (17, 23)), img, atol=1e-6)
+
+    flat = sobel(np.ones((9, 9), np.float32))
+    assert np.allclose(flat, 0)  # constant image has zero gradient
+    edge = np.zeros((9, 9), np.float32)
+    edge[:, 5:] = 1.0
+    assert sobel(edge).max() > 0
+
+    noisy = gaussian_noise(img, np.random.default_rng(0), std=0.1)
+    assert noisy.shape == img.shape and not np.allclose(noisy, img)
+
+    assert Identity()(img) is img
+    always = RandomApply(lambda a: a + 1, p=1.0)
+    never = RandomApply(lambda a: a + 1, p=0.0)
+    np.testing.assert_allclose(always(img, rng), img + 1)
+    np.testing.assert_allclose(never(img, rng), img)
+    choice = RandomChoice([lambda a: a * 0, lambda a: a * 0])
+    assert choice(img, rng).sum() == 0
