@@ -246,6 +246,72 @@ class SurfaceMeter(_Metric):
         return report
 
 
+class ConfusionMeter(_Metric):
+    """K x K confusion matrix over int predictions/targets (the reusable
+    member of the reference's vendored torchnet meter zoo,
+    WHEEL::deepclustering2/meters2/individual_meters/torchnet). With
+    ``normalized``, rows are divided by their sums."""
+
+    def __init__(self, k: int, normalized: bool = False) -> None:
+        self._k = int(k)
+        self._normalized = bool(normalized)
+        self.reset()
+
+    def reset(self) -> None:
+        self._conf = np.zeros((self._k, self._k), np.int64)
+
+    def add(self, pred, target) -> None:
+        pred = np.asarray(pred).reshape(-1)
+        target = np.asarray(target).reshape(-1)
+        assert pred.shape == target.shape, (pred.shape, target.shape)
+        idx = target * self._k + pred
+        self._conf += np.bincount(idx, minlength=self._k * self._k).reshape(
+            self._k, self._k)
+
+    def value(self) -> np.ndarray:
+        if self._normalized:
+            sums = np.maximum(self._conf.sum(axis=1, keepdims=True), 1)
+            return self._conf / sums
+        return self._conf.copy()
+
+    def summary(self) -> Dict[str, float]:
+        total = max(self._conf.sum(), 1)
+        return {"acc": float(np.trace(self._conf) / total)}
+
+    def detailed_summary(self) -> Dict[str, float]:
+        out = self.summary()
+        sums = np.maximum(self._conf.sum(axis=1), 1)
+        for c in range(self._k):
+            out[f"recall{c}"] = float(self._conf[c, c] / sums[c])
+        return out
+
+
+class TimeMeter(_Metric):
+    """Wall-clock rate meter (torchnet TimeMeter): units processed per
+    second since reset."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        import time
+
+        self._t0 = time.perf_counter()
+        self._n = 0
+
+    def add(self, n: int = 1) -> None:
+        self._n += int(n)
+
+    def summary(self) -> Dict[str, float]:
+        import time
+
+        dt = max(time.perf_counter() - self._t0, 1e-9)
+        return {"rate": self._n / dt, "elapsed": dt}
+
+    def detailed_summary(self) -> Dict[str, float]:
+        return self.summary()
+
+
 class MeterInterface:
     """Per-epoch registry of named meters."""
 

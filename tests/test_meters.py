@@ -159,3 +159,32 @@ def test_meter_interface_and_storage(tmp_path):
     s2 = Storage()
     s2.load_state_dict(state)
     assert s2.summary().equals(storage.summary())
+
+
+def test_confusion_meter():
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils.meters import (
+        ConfusionMeter,
+    )
+
+    m = ConfusionMeter(3)
+    m.add([0, 1, 2, 2], [0, 1, 2, 1])
+    conf = m.value()
+    assert conf[0, 0] == 1 and conf[1, 1] == 1 and conf[2, 2] == 1
+    assert conf[1, 2] == 1  # target 1 predicted 2
+    assert np.isclose(m.summary()["acc"], 3 / 4)
+    d = m.detailed_summary()
+    assert np.isclose(d["recall1"], 0.5)
+    mn = ConfusionMeter(3, normalized=True)
+    mn.add([0, 1, 2, 2], [0, 1, 2, 1])
+    assert np.allclose(mn.value().sum(axis=1), [1, 1, 1])
+
+
+def test_time_meter():
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils.meters import (
+        TimeMeter,
+    )
+
+    m = TimeMeter()
+    m.add(10)
+    s = m.summary()
+    assert s["rate"] > 0 and s["elapsed"] > 0
