@@ -427,6 +427,7 @@ class ContrastTrainer:
         train_decoder: bool = True,
         crop_size: int = 224,
         mesh=None,
+        run_dir: Optional[str] = None,
         **kwargs,
     ) -> None:
         self._config = configuration
@@ -441,7 +442,8 @@ class ContrastTrainer:
         self.train_decoder = train_decoder
         self._crop = crop_size
         self._mesh = mesh
-        self._save_dir = str(Path(self.RUN_DIR) / save_dir)
+        # run_dir overrides the class-level RUN_DIR root (tests, sweeps)
+        self._save_dir = str(Path(run_dir or self.RUN_DIR) / save_dir)
         Path(self._save_dir).mkdir(parents=True, exist_ok=True)
         with open(Path(self._save_dir) / "config.yaml", "w") as f:
             yaml.safe_dump(configuration, f, sort_keys=False)
