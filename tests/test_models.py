@@ -108,3 +108,23 @@ def test_split_feature_names():
     enc, dec = split_feature_names(["Conv5", "Up_conv3", "Up_conv2"])
     assert enc == ["Conv5"]
     assert dec == ["Up_conv3", "Up_conv2"]
+
+
+def test_weight_norm_dump():
+    """Per-parameter L2 norms keyed by dotted path (reference
+    UNet.weight_norm(), contrastyou/arch/unet.py:196-200)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models.unet import (
+        UNet,
+        weight_norm,
+    )
+
+    m = UNet(input_dim=1, num_classes=3)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), train=False)
+    wn = weight_norm(v["params"])
+    assert len(wn) > 20
+    assert all(isinstance(x, float) and x >= 0 for x in wn.values())
+    key = next(iter(wn))
+    assert "." in key and key.split(".")[0] in v["params"]
