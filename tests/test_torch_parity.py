@@ -372,3 +372,96 @@ def test_unet_feature_taps_parity(ref, rng):
         np.testing.assert_allclose(
             np.moveaxis(np.asarray(feats[name]), -1, 1), tref.numpy(),
             rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-head CHAINS: head -> softmax -> MI loss vs the torch modules
+# (contrastyou/trainer/_utils.py ClusterHead/LocalClusterHead + iic losses)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_heads(ref):
+    return _load_file("ref_trainer_utils", REF / "contrastyou/trainer/_utils.py")
+
+
+def test_local_cluster_head_chain_parity(ref, ref_heads, rng):
+    """feature -> LocalClusterHead (S subheads) -> per-subhead displaced MI,
+    subhead-averaged — the decoder IIC branch — matches torch end to end,
+    values AND feature gradients."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models.heads import (
+        LocalClusterHead as JLocalHead,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.ops.iic_local import (
+        iid_segmentation_small_patch_loss_flat,
+    )
+
+    B, H, W, Cf, S, K, pad = 4, 12, 11, 6, 3, 4, 1
+    feats = rng.random((B, H, W, Cf)).astype(np.float32)
+
+    # torch side: NCHW features through S subhead convs, then per-subhead
+    # IIDSegmentationSmallPathLoss on (plain, tf) halves, averaged
+    t_head = ref_heads.LocalClusterHead(
+        input_dim=Cf, head_type="linear", num_clusters=K, num_subheads=S, T=1)
+    t_feats = torch.tensor(np.moveaxis(feats, -1, 1), requires_grad=True)
+    probs_t = t_head(t_feats)  # list of S [B, K, H, W]
+    t1 = [p[: B // 2] for p in probs_t]
+    t2 = [p[B // 2:] for p in probs_t]
+    crit = ref.iic.IIDSegmentationSmallPathLoss(padding=pad, patch_size=1024)
+    ref_loss = sum(crit(a, b) for a, b in zip(t1, t2)) / S
+    ref_loss.backward()
+
+    # jax side: port conv weights into the flat einsum head
+    kernel = np.zeros((Cf, S * K), np.float32)
+    bias = np.zeros((S * K,), np.float32)
+    for s, sub in enumerate(t_head._headers):
+        conv = sub[0]
+        kernel[:, s * K:(s + 1) * K] = conv.weight.detach().numpy()[:, :, 0, 0].T
+        bias[s * K:(s + 1) * K] = conv.bias.detach().numpy()
+    j_head = JLocalHead(num_clusters=K, num_subheads=S, head_type="linear",
+                        T=1.0, flat_output=True, lane_multiple=128)
+    params = {"params": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}}
+
+    def loss_fn(f):
+        p = j_head.apply(params, f)  # [B, H, W, 128] flat probs
+        p1, p2 = jnp.split(p, 2, axis=0)
+        return iid_segmentation_small_patch_loss_flat(
+            p1, p2, S, K, padding=pad, patch_size=1024, backend="xla")
+
+    loss, grad = jax.value_and_grad(loss_fn)(jnp.asarray(feats))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(grad), -1, 1), t_feats.grad.numpy(),
+        rtol=1e-3, atol=1e-6)
+
+
+def test_global_cluster_head_chain_parity(ref, ref_heads, rng):
+    """feature -> ClusterHead (pool/linear/softmax, S subheads) -> per-subhead
+    IIDLoss, subhead-averaged — the encoder IIC branch — matches torch."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models.heads import (
+        ClusterHead as JClusterHead,
+    )
+
+    B, H, W, Cf, S, K = 6, 7, 9, 8, 4, 5
+    feats = rng.random((B, H, W, Cf)).astype(np.float32)
+
+    t_head = ref_heads.ClusterHead(
+        input_dim=Cf, num_clusters=K, num_subheads=S, head_type="linear", T=1)
+    probs_t = t_head(torch.tensor(np.moveaxis(feats, -1, 1)))  # S x [B, K]
+    t1 = [p[: B // 2] for p in probs_t]
+    t2 = [p[B // 2:] for p in probs_t]
+    ref_loss = sum(ref.iic.IIDLoss()(a, b)[0] for a, b in zip(t1, t2)) / S
+
+    kernel = np.zeros((Cf, S * K), np.float32)
+    bias = np.zeros((S * K,), np.float32)
+    for s, sub in enumerate(t_head._headers):
+        lin = sub[2]
+        kernel[:, s * K:(s + 1) * K] = lin.weight.detach().numpy().T
+        bias[s * K:(s + 1) * K] = lin.bias.detach().numpy()
+    j_head = JClusterHead(num_clusters=K, num_subheads=S, head_type="linear", T=1.0)
+    params = {"params": {"linear": {"kernel": jnp.asarray(kernel),
+                                    "bias": jnp.asarray(bias)}}}
+    p = j_head.apply(params, jnp.asarray(feats))  # [B, S, K]
+    p1, p2 = jnp.split(p, 2, axis=0)
+    per = jax.vmap(lambda a, b: iid_loss(a, b)[0], in_axes=(1, 1))(p1, p2)
+    np.testing.assert_allclose(float(jnp.mean(per)), float(ref_loss),
+                               rtol=1e-5, atol=1e-6)
