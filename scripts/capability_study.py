@@ -67,6 +67,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batches", type=int, default=None)
     ap.add_argument("--seeds", type=int, nargs="*", default=None)
+    ap.add_argument("--modes", nargs="*", default=None)
     args = ap.parse_args()
 
     epochs = args.epochs or (2 if args.quick else 50)
@@ -103,7 +104,8 @@ def main():
     _gen(data_root, num_train_patients=40, num_val_patients=8,
          slices_per_patient=10, size=256, hard=True, seed=0)
 
-    for mode in MODES:
+    modes = tuple(args.modes) if args.modes else MODES
+    for mode in modes:
         for seed in seeds:
             if (mode, seed) in done:
                 print(f"[study] skip {mode} seed {seed} (done)", flush=True)
@@ -143,7 +145,7 @@ def main():
              "|---|---|---|"]
     import numpy as np
 
-    for mode in MODES:
+    for mode in modes:
         v = by_mode.get(mode, [])
         if not v:
             continue
