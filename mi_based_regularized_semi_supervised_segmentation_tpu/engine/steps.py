@@ -25,6 +25,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.unet import ENCODER_NAMES
 from ..ops.flips import apply_flips, sample_flip_mask
@@ -71,6 +72,7 @@ def _iic_regularization(
     paddings: Sequence[int],
     patch_sizes: Sequence[int],
     backend: str,
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Per-position MI losses (subhead-averaged). Returns ({name: loss}, …).
 
@@ -78,7 +80,12 @@ def _iic_regularization(
     2*B_u feature rows into (plain, tf). Encoder positions use (plain, tf)
     directly (global pooling is flip-invariant); decoder positions re-apply
     the flips to the plain features. Both go through the position's cluster
-    head; per-subhead IIC losses are averaged."""
+    head; per-subhead IIC losses are averaged.
+
+    row_mask: optional [B_u] validity over the unlabeled rows (pad-and-mask
+    batch sharding). Pad rows' cluster probabilities are zeroed before the
+    joints; every joint downstream normalizes by its own sum, so the losses
+    equal the unpadded computation exactly."""
     dec_idx = 0
     half1: Dict[str, jnp.ndarray] = {}
     half2: Dict[str, jnp.ndarray] = {}
@@ -115,6 +122,16 @@ def _iic_regularization(
     losses: Dict[str, jnp.ndarray] = {}
     for name in feature_names:
         p1, p2 = probs1[name], probs2[name]
+        if row_mask is not None:
+            # fused path carries logits (unmaskable); trainers disable it in
+            # padded mode — guard here so the invariant can't silently break
+            assert not (not is_encoder[name]
+                        and getattr(projector, "local_emit_logits", False)), \
+                "pad-and-mask batches need materialized probs (fused off)"
+            shape = (-1,) + (1,) * (p1.ndim - 1)
+            m = jax.lax.stop_gradient(row_mask.astype(p1.dtype).reshape(shape))
+            p1 = p1 * m
+            p2 = p2 * m
         if is_encoder[name]:
             # [B, S, K] -> per-subhead global IID loss, averaged
             per_subhead = jax.vmap(
@@ -179,9 +196,18 @@ def build_train_step(
     crop: int = 224,
     ema_alpha: float = 0.999,
     ema_weight_decay: float = 1e-6,
+    n_labeled_valid: Optional[int] = None,
+    n_unlabeled_valid: Optional[int] = None,
     jit: bool = True,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns step(state, batch) -> (state, metrics).
+
+    n_labeled_valid / n_unlabeled_valid: pad-and-mask batch sharding. When
+    the flagship global batch (4 labeled + 10 unlabeled) doesn't divide the
+    mesh data axis, batches are padded up to a device multiple with dummy
+    rows AT THE END; these statics say how many leading rows are real. The
+    step then masks BN statistics, every loss mean, the IIC joints, and the
+    dice sums so the numerics equal the unpadded computation exactly.
 
     batch: {"labeled_image" [Bl,H,W,1], "labeled_target" [Bl,H,W],
             "unlabeled_image" [Bu,H,W,1]}  (device arrays, batch axis may be
@@ -202,10 +228,14 @@ def build_train_step(
         importance = [float(x) for x in feature_importance]
         importance = [x / sum(importance) for x in importance]
 
-    def consistency(p_tf_logits, p_logits_tf):
+    def consistency_per_row(p_tf_logits, p_logits_tf):
+        """Unreduced consistency, [B, ...] — reduced by masked_mean."""
         if uda_criterion == "mse":
-            return mse_consistency(p_tf_logits, p_logits_tf)
-        return kl_div(p_tf_logits, jax.lax.stop_gradient(p_logits_tf))
+            target = jax.lax.stop_gradient(p_logits_tf.astype(jnp.float32))
+            diff = p_tf_logits.astype(jnp.float32) - target
+            return diff * diff
+        return kl_div(p_tf_logits, jax.lax.stop_gradient(p_logits_tf),
+                      reduction="none")
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if data_store is not None:
@@ -241,8 +271,29 @@ def build_train_step(
             new_rng, flip_key = jax.random.split(state.rng)
         n_labeled = labeled_image.shape[0]
         n_unlabeled = unlabeled_image.shape[0]
+        padded = (
+            (n_labeled_valid is not None and n_labeled_valid != n_labeled)
+            or (n_unlabeled_valid is not None and n_unlabeled_valid != n_unlabeled)
+        )
+        if padded:
+            lab_valid = n_labeled_valid if n_labeled_valid is not None else n_labeled
+            unlab_valid = n_unlabeled_valid if n_unlabeled_valid is not None else n_unlabeled
+            lab_mask = (jnp.arange(n_labeled) < lab_valid).astype(jnp.float32)
+            unlab_mask = (jnp.arange(n_unlabeled) < unlab_valid).astype(jnp.float32)
+            bn_mask = jnp.concatenate([lab_mask, unlab_mask, unlab_mask])[
+                :, None, None, None] > 0
+        else:
+            lab_mask = unlab_mask = bn_mask = None
         flip_mask = sample_flip_mask(flip_key, n_unlabeled, flip_threshold)
         unlabeled_image_tf = apply_flips(unlabeled_image, flip_mask)
+
+        def masked_mean(per_row, mask):
+            """per_row: [B, ...] unreduced; mask [B] — mean over real rows."""
+            if mask is None:
+                return jnp.mean(per_row)
+            per_elem = float(np.prod(per_row.shape[1:])) if per_row.ndim > 1 else 1.0
+            m = mask.reshape((-1,) + (1,) * (per_row.ndim - 1))
+            return jnp.sum(per_row * m) / (jnp.sum(mask) * per_elem)
 
         teacher_logits_tf = None
         teacher_batch_stats = None
@@ -258,6 +309,8 @@ def build_train_step(
                 {"params": state.ema_params["params"],
                  "batch_stats": state.ema_params["batch_stats"]},
                 unlabeled_image, train=True, mutable=["batch_stats"],
+                bn_mask=None if unlab_mask is None
+                else (unlab_mask[:, None, None, None] > 0),
             )
             teacher_logits_tf = apply_flips(
                 jax.lax.stop_gradient(teacher_logits), flip_mask)
@@ -268,6 +321,7 @@ def build_train_step(
             (logits, features), mutated = model.apply(
                 {"params": params["model"], "batch_stats": state.batch_stats},
                 inputs, train=True, return_features=True, mutable=["batch_stats"],
+                bn_mask=bn_mask,
             )
             label_logits = logits[:n_labeled]
             unlabel_logits = logits[n_labeled:n_labeled + n_unlabeled]
@@ -275,38 +329,46 @@ def build_train_step(
             unlabel_logits_tf = apply_flips(unlabel_logits, flip_mask)
 
             onehot = class2one_hot(labeled_target, num_classes, class_axis=-1)
-            sup_loss = kl_div(jax.nn.softmax(label_logits, axis=-1), onehot)
+            sup_loss = masked_mean(
+                kl_div(jax.nn.softmax(label_logits, axis=-1), onehot,
+                       reduction="none"),
+                lab_mask,
+            )
 
             metrics: Dict[str, jnp.ndarray] = {"sup_loss": sup_loss}
             reg_loss = jnp.zeros((), jnp.float32)
             total_weight = reg_weight
 
             if mode == "meanteacher":
-                uda_loss = consistency(
+                uda_loss = masked_mean(consistency_per_row(
                     jax.nn.softmax(unlabel_tf_logits, axis=-1),
                     jax.nn.softmax(teacher_logits_tf, axis=-1),
-                )
+                ), unlab_mask)
                 metrics["uda"] = uda_loss
             elif needs_uda:
-                uda_loss = consistency(
+                uda_loss = masked_mean(consistency_per_row(
                     jax.nn.softmax(unlabel_tf_logits, axis=-1),
                     jax.nn.softmax(unlabel_logits_tf, axis=-1),
-                )
+                ), unlab_mask)
                 metrics["uda"] = uda_loss
             if mode == "entropy":
                 # EntropyMin (the reference's dormant EntropyMinParameters
                 # section): minimize prediction entropy on unlabeled views.
                 from ..ops.losses import entropy as _entropy
 
-                ent = _entropy(jax.nn.softmax(
-                    jnp.concatenate([unlabel_logits, unlabel_tf_logits], axis=0),
-                    axis=-1))
+                ent = masked_mean(
+                    _entropy(jax.nn.softmax(
+                        jnp.concatenate([unlabel_logits, unlabel_tf_logits],
+                                        axis=0), axis=-1), reduction="none"),
+                    None if unlab_mask is None
+                    else jnp.concatenate([unlab_mask, unlab_mask]),
+                )
                 metrics["entropy"] = ent
             if needs_iic:
                 iic_losses = _iic_regularization(
                     projector, params["projector"], features, flip_mask,
                     n_labeled, n_unlabeled, feature_names, paddings, patch_sizes,
-                    backend,
+                    backend, row_mask=unlab_mask,
                 )
                 iic_loss_val = sum(
                     w * iic_losses[n] for n, w in zip(feature_names, importance)
@@ -354,7 +416,8 @@ def build_train_step(
                        "batch_stats": teacher_batch_stats}
 
         pred = jnp.argmax(label_logits, axis=-1)
-        inter, union = dice_stats(pred, labeled_target, num_classes)
+        inter, union = dice_stats(pred, labeled_target, num_classes,
+                                  mask=lab_mask)
         metrics["sup_dice_inter"] = inter
         metrics["sup_dice_union"] = union
 
@@ -393,6 +456,85 @@ def build_epoch_scan(step_fn, num_batches: int, jit: bool = True):
             return new_state, metrics
 
         return jax.lax.scan(body, state, batches, length=num_batches)
+
+    if jit:
+        return jax.jit(epoch, donate_argnums=(0,))
+    return epoch
+
+
+def build_augment_fn(data_store, crop: int = 224):
+    """Standalone device augmentation: aug(base_key, i, idx_batch) ->
+    {"labeled_image", "labeled_target", "unlabeled_image"} tensors.
+
+    Keys derive from fold_in(base_key, i) — NOT from the step-chained rng —
+    so augmenting batch i+1 has no data dependency on step i. That is what
+    lets the pipelined epoch scan overlap the gather-bound augmentation
+    (rotation ~13 ms at B=18/256² on v5e) with the previous step's MXU
+    work."""
+    from ..ops.augment_device import augment_pair_batch
+
+    lab_store = data_store["labeled"] if isinstance(data_store, dict) else data_store
+    unlab_store = data_store["unlabeled"] if isinstance(data_store, dict) else data_store
+
+    def aug(base_key, i, batch):
+        k = jax.random.fold_in(base_key, i)
+        k_l, k_u = jax.random.split(k)
+        lab_idx = batch["labeled_indices"]
+        unlab_idx = batch["unlabeled_indices"]
+        labeled_image, labeled_target = augment_pair_batch(
+            k_l, lab_store.images[lab_idx], lab_store.labels[lab_idx],
+            crop=crop, valid_hw=lab_store.valid_hw_dev[lab_idx],
+            offsets=lab_store.offsets_dev[lab_idx],
+        )
+        unlabeled_image, _ = augment_pair_batch(
+            k_u, unlab_store.images[unlab_idx], None, crop=crop,
+            valid_hw=unlab_store.valid_hw_dev[unlab_idx],
+            offsets=unlab_store.offsets_dev[unlab_idx],
+        )
+        return {"labeled_image": labeled_image,
+                "labeled_target": labeled_target,
+                "unlabeled_image": unlabeled_image}
+
+    return aug
+
+
+def build_epoch_scan_pipelined(aug_fn, step_fn, num_batches: int, jit: bool = True):
+    """Software-pipelined whole-epoch program: batch i+1's
+    gather+augmentation is scheduled alongside step i (no data dependency —
+    augmentation keys are fold_in(epoch rng, i), see build_augment_fn).
+
+    MEASURED NEUTRAL on TPU v5e (291 vs 292 slices/s e2e): a TPU core
+    executes ops of one program strictly sequentially — there are no
+    concurrent streams to overlap independent ops on — so the gather-bound
+    augmentation costs the same wherever it is scheduled. Kept as a tested
+    option for platforms with genuine inter-op concurrency; the trainer
+    default is the plain aug-in-step scan.
+
+    step_fn must be the UNJITTED TENSOR-mode step (data_store=None): it
+    receives the pre-augmented batch. Returns epoch_fn(state, batches) with
+    the same contract as build_epoch_scan ([num_batches, B] index arrays,
+    optionally sharded on the data axis)."""
+
+    def epoch(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        base = state.rng  # per-epoch augmentation base key
+        first = {k: v[0] for k, v in batches.items()}
+        aug0 = aug_fn(base, 0, first)
+        # batch i+1's indices feed iteration i; the final iteration augments
+        # a wrapped batch whose output is discarded (one wasted augmentation
+        # per epoch).
+        shifted = {k: jnp.roll(v, -1, axis=0) for k, v in batches.items()}
+        steps_i = jnp.arange(1, num_batches + 1)
+
+        def body(carry, xs):
+            state, cur = carry
+            next_idx, i_next = xs
+            nxt = aug_fn(base, i_next, next_idx)
+            new_state, metrics = step_fn(state, cur)
+            return (new_state, nxt), metrics
+
+        (state, _), stacked = jax.lax.scan(
+            body, (state, aug0), (shifted, steps_i), length=num_batches)
+        return state, stacked
 
     if jit:
         return jax.jit(epoch, donate_argnums=(0,))

@@ -171,6 +171,23 @@ class SemiTrainer:
             self._val_index_loader = DevicePatientEvalLoader(self._val_store)
             self._test_index_loader = DevicePatientEvalLoader(self._test_store)
 
+        # Pad-and-mask batch sharding: the flagship 4+10 batch divides
+        # neither 4 nor 8 devices; round each sub-batch up to the data-axis
+        # multiple and tell the step how many leading rows are real. The
+        # step masks BN stats, losses, joints, and dice — numerics match the
+        # unpadded computation exactly (tests/test_parallel.py).
+        lab_bs = int(cfg.get("LabeledData", {}).get("batch_size", 4))
+        unlab_bs = int(cfg.get("UnlabeledData", {}).get("batch_size", 10))
+        self._n_dev = 1
+        if self._mesh is not None:
+            self._n_dev = int(self._mesh.shape[self._mesh.axis_names[0]])
+        round_up = lambda b: ((b + self._n_dev - 1) // self._n_dev) * self._n_dev
+        self._lab_bs, self._unlab_bs = lab_bs, unlab_bs
+        self._lab_bs_padded = round_up(lab_bs)
+        self._unlab_bs_padded = round_up(unlab_bs)
+        self._batch_padded = (self._lab_bs_padded != lab_bs
+                              or self._unlab_bs_padded != unlab_bs)
+
         backend = cfg.get("Kernel", {}).get("backend", "auto") if cfg.get("Kernel") else "auto"
         if backend == "pallas_fused":  # fused selection lives on the projector
             backend = "pallas"
@@ -185,6 +202,8 @@ class SemiTrainer:
             backend=backend,
             data_store=self._data_stores,
             crop=self._crop_size,
+            n_labeled_valid=lab_bs if self._batch_padded else None,
+            n_unlabeled_valid=unlab_bs if self._batch_padded else None,
             **self._step_kwargs,
         )
         self._eval_step = build_eval_step(self._model, num_classes=self._num_classes)
@@ -201,6 +220,17 @@ class SemiTrainer:
                 self._model, num_classes=self._num_classes,
                 data_store=self._test_store, crop=self._crop_size)
         if self._epoch_scan:
+            # Trainer.pipelined_scan: true builds the software-pipelined
+            # epoch (augment batch i+1 scheduled alongside step i, keys via
+            # fold_in so there is no data dependency). MEASURED NEUTRAL on
+            # v5e (291 vs 292 slices/s e2e): a TPU core executes one op at a
+            # time, so independent ops in one program still serialize — the
+            # augmentation gather costs the same either way. Kept as a
+            # tested option (it would matter on platforms with concurrent
+            # streams); default stays the simpler aug-in-step scan.
+            self._pipelined = bool(trainer_cfg.get("pipelined_scan", False))
+            from .steps import build_augment_fn, build_epoch_scan_pipelined
+
             raw_step = build_train_step(
                 self._model, self._tx, self.mode,
                 num_classes=self._num_classes,
@@ -208,12 +238,19 @@ class SemiTrainer:
                 feature_importance=self._feature_importance,
                 projector=self._projector,
                 backend=backend,
-                data_store=self._data_stores,
+                data_store=None if self._pipelined else self._data_stores,
                 crop=self._crop_size,
+                n_labeled_valid=lab_bs if self._batch_padded else None,
+                n_unlabeled_valid=unlab_bs if self._batch_padded else None,
                 jit=False,
                 **self._step_kwargs,
             )
-            self._epoch_fn = build_epoch_scan(raw_step, self._num_batches)
+            if self._pipelined:
+                aug_fn = build_augment_fn(self._data_stores, crop=self._crop_size)
+                self._epoch_fn = build_epoch_scan_pipelined(
+                    aug_fn, raw_step, self._num_batches)
+            else:
+                self._epoch_fn = build_epoch_scan(raw_step, self._num_batches)
             self._eval_scan_val = build_eval_scan(
                 self._model, num_classes=self._num_classes,
                 data_store=self._val_store, crop=self._crop_size)
@@ -271,13 +308,26 @@ class SemiTrainer:
                 for lab, unlab in zip(self._labeled_index_loader,
                                       self._unlabeled_index_loader):
                     yield {
-                        "labeled_indices": lab["indices"],
-                        "unlabeled_indices": unlab["indices"],
+                        "labeled_indices": self._pad_rows(
+                            lab["indices"], self._lab_bs_padded),
+                        "unlabeled_indices": self._pad_rows(
+                            unlab["indices"], self._unlab_bs_padded),
                         "group": lab["group"],
                     }
             host_iter = index_batches()
         else:
-            host_iter = _combined_batches(self._labeled_loader, self._unlabeled_loader)
+            def padded_batches():
+                for b in _combined_batches(self._labeled_loader,
+                                           self._unlabeled_loader):
+                    if self._batch_padded:
+                        b["labeled_image"] = self._pad_rows(
+                            b["labeled_image"], self._lab_bs_padded)
+                        b["labeled_target"] = self._pad_rows(
+                            b["labeled_target"], self._lab_bs_padded)
+                        b["unlabeled_image"] = self._pad_rows(
+                            b["unlabeled_image"], self._unlab_bs_padded)
+                    yield b
+            host_iter = padded_batches()
         device_iter = prefetch_to_device(host_iter, self._mesh)
 
         # optional profiler capture (Trainer.profile: <epoch int> or true):
@@ -318,8 +368,8 @@ class SemiTrainer:
             meters["sup_loss"].add(float(metrics["sup_loss"]))
             meters["reg_loss"].add(float(metrics["reg_loss"]))
             meters["sup_dice"].add_stats(
-                np.asarray(metrics["sup_dice_inter"]),
-                np.asarray(metrics["sup_dice_union"]),
+                np.asarray(metrics["sup_dice_inter"])[:len(groups)],
+                np.asarray(metrics["sup_dice_union"])[:len(groups)],
                 group_name=groups,
             )
             if "uda" in meters and "uda" in metrics:
@@ -338,19 +388,39 @@ class SemiTrainer:
                 )
         return meters.tracking_status()
 
+    def _pad_rows(self, arr: np.ndarray, target: int) -> np.ndarray:
+        """Pad axis 0 (per-batch arrays) or axis -1 == 1 (stacked index
+        tensors use _pad_cols) up to ``target`` rows by repeating the last
+        real row — pad rows are masked out of every statistic in the step."""
+        n = arr.shape[0]
+        if n >= target:
+            return arr
+        reps = np.repeat(arr[-1:], target - n, axis=0)
+        return np.concatenate([arr, reps], axis=0)
+
     def _put_index_batches(self, stacked: np.ndarray):
-        """Stage stacked [num_batches, B] index tensors, PARTITIONED on the
-        mesh data axis (axis 1) — the scan fast path is mesh-true: each
-        device gathers + augments + forwards only its batch shard; GSPMD
-        inserts the BN-stat and gradient all-reduces. Falls back to
-        replication when the per-step batch doesn't divide the axis."""
+        """Stage stacked [num_batches, B_padded] index tensors, PARTITIONED
+        on the mesh data axis (axis 1) — the scan fast path is mesh-true:
+        each device gathers + augments + forwards only its batch shard;
+        GSPMD inserts the BN-stat and gradient all-reduces. Batches are
+        pre-padded to a device multiple (pad-and-mask), so the replication
+        fallback is unreachable in normal operation — if it ever triggers,
+        it logs loudly rather than silently degrading."""
         if self._mesh is None:
             return jax.device_put(stacked)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axis = self._mesh.axis_names[0]
         n_dev = self._mesh.shape[axis]
-        spec = P(None, axis) if stacked.shape[1] % n_dev == 0 else P()
+        if stacked.shape[1] % n_dev != 0:
+            print(f"WARNING: batch axis {stacked.shape[1]} does not divide "
+                  f"the {n_dev}-device '{axis}' mesh axis — REPLICATING "
+                  f"(every device computes the full batch). This should be "
+                  f"unreachable: pad-and-mask rounds batches to a device "
+                  f"multiple.", flush=True)
+            spec = P()
+        else:
+            spec = P(None, axis)
         return jax.device_put(stacked, NamedSharding(self._mesh, spec))
 
     def _run_epoch_scan(self, epoch: int, meters) -> Dict[str, Dict[str, float]]:
@@ -372,9 +442,17 @@ class SemiTrainer:
             lab_idx.append(lab["indices"])
             unlab_idx.append(unlab["indices"])
             group_lists.append(lab["group"])
+        def pad_cols(stacked: np.ndarray, target: int) -> np.ndarray:
+            if stacked.shape[1] >= target:
+                return stacked
+            return np.pad(stacked, ((0, 0), (0, target - stacked.shape[1])),
+                          mode="edge")
+
         batches = {
-            "labeled_indices": self._put_index_batches(np.stack(lab_idx)),
-            "unlabeled_indices": self._put_index_batches(np.stack(unlab_idx)),
+            "labeled_indices": self._put_index_batches(
+                pad_cols(np.stack(lab_idx), self._lab_bs_padded)),
+            "unlabeled_indices": self._put_index_batches(
+                pad_cols(np.stack(unlab_idx), self._unlab_bs_padded)),
         }
         self._state, stacked = self._epoch_fn(self._state, batches)
         stacked = jax.device_get(stacked)  # ONE readback for the whole epoch
@@ -387,10 +465,12 @@ class SemiTrainer:
             meters["sup_loss"].add(float(v))
         for v in np.asarray(stacked["reg_loss"]):
             meters["reg_loss"].add(float(v))
-        inter = np.asarray(stacked["sup_dice_inter"])  # [NB, Bl, C]
+        inter = np.asarray(stacked["sup_dice_inter"])  # [NB, Bl_padded, C]
         union = np.asarray(stacked["sup_dice_union"])
         for i, groups in enumerate(group_lists):
-            meters["sup_dice"].add_stats(inter[i], union[i], group_name=groups)
+            meters["sup_dice"].add_stats(inter[i, :len(groups)],
+                                         union[i, :len(groups)],
+                                         group_name=groups)
         if "uda" in meters and "uda" in stacked:
             for v in np.asarray(stacked["uda"]):
                 meters["uda"].add(float(v))
@@ -419,9 +499,21 @@ class SemiTrainer:
             indices.append(batch["indices"])
             masks.append(batch["mask"])
             groups.append(batch["group"])
+        # shard eval slices over the data axis too (pad_multiple=8 keeps the
+        # padded patient batch a device multiple): each chip forwards only
+        # its slice shard; GSPMD sums the masked I/U and loss reductions.
+        def put(arr: np.ndarray):
+            if self._mesh is None:
+                return jax.device_put(arr)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = self._mesh.axis_names[0]
+            spec = (P(None, axis) if arr.shape[1] % self._n_dev == 0 else P())
+            return jax.device_put(arr, NamedSharding(self._mesh, spec))
+
         out = jax.device_get(eval_scan(
             self._state.params, self._state.batch_stats,
-            jax.device_put(np.stack(indices)), jax.device_put(np.stack(masks)),
+            put(np.stack(indices)), put(np.stack(masks)),
         ))
         for i, g in enumerate(groups):
             meters["loss"].add(float(out["loss"][i]))
@@ -447,10 +539,19 @@ class SemiTrainer:
                 if loader is self._val_loader
                 else (self._eval_step_test, self._test_index_loader)
             )
+            def put1(arr: np.ndarray):
+                if self._mesh is None:
+                    return jax.device_put(arr)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axis = self._mesh.axis_names[0]
+                spec = P(axis) if arr.shape[0] % self._n_dev == 0 else P()
+                return jax.device_put(arr, NamedSharding(self._mesh, spec))
+
             for batch in index_loader:
                 out = eval_step(
                     self._state.params, self._state.batch_stats,
-                    jax.device_put(batch["indices"]), jax.device_put(batch["mask"]),
+                    put1(batch["indices"]), put1(batch["mask"]),
                 )
                 pending.append((out, batch["group"]))
         else:
@@ -719,10 +820,20 @@ class IICTrainer(SemiTrainer):
         # (pallas joint + XLA softmax with per-half einsum heads): the
         # in-kernel softmax serializes with the MXU dots — kept as an option,
         # not the default.
+        # fused (softmax-in-kernel) path carries logits, which pad-and-mask
+        # batch sharding can't row-mask — disable it when the batch needs
+        # padding to divide the mesh data axis.
+        n_dev = 1
+        if self._mesh is not None:
+            n_dev = int(self._mesh.shape[self._mesh.axis_names[0]])
+        lab_bs = int(self._config.get("LabeledData", {}).get("batch_size", 4))
+        unlab_bs = int(self._config.get("UnlabeledData", {}).get("batch_size", 10))
+        needs_padding = (lab_bs % n_dev != 0) or (unlab_bs % n_dev != 0)
         fused_ok = (
             backend == "pallas_fused"
             and jax.default_backend() == "tpu"
             and min_patch >= self._crop_size
+            and not needs_padding
         )
         if backend == "pallas_fused":
             backend = "pallas"  # joint backend for any unfused decoder tier

@@ -60,13 +60,15 @@ class ConvBlock(nn.Module):
     bn_dtype: Any = jnp.float32  # bf16 saves ~23% of U-Net step time; fp32 = parity
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool,
+                 bn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, kernel_init=_conv_init(self.dtype),
                         name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.bn_dtype, name=f"bn{i}")(x)
+                             epsilon=1e-5, dtype=self.bn_dtype, name=f"bn{i}")(
+                x, mask=bn_mask)
             x = nn.relu(x)
         return x
 
@@ -79,13 +81,14 @@ class UpConv(nn.Module):
     bn_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool,
+                 bn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, kernel_init=_conv_init(self.dtype), name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.bn_dtype, name="bn")(x)
+                         epsilon=1e-5, dtype=self.bn_dtype, name="bn")(x, mask=bn_mask)
         return nn.relu(x)
 
 
@@ -116,27 +119,33 @@ class UNet(nn.Module):
         *,
         train: bool = False,
         return_features: bool = False,
+        bn_mask: Optional[jnp.ndarray] = None,
     ):
         """x: [B, H, W, input_dim] (NHWC). Returns logits [B, H, W, C] in
-        fp32 and, when return_features, a dict of the nine named taps."""
+        fp32 and, when return_features, a dict of the nine named taps.
+
+        bn_mask: optional [B, 1, 1, 1] row-validity mask for train-mode BN
+        statistics — pad-and-mask batch sharding (indivisible global batches
+        rounded up to the device count) keeps BN parity by excluding pad rows
+        from every layer's batch statistics."""
         x = x.astype(self.dtype)
-        e1 = ConvBlock(16, self.dtype, self.bn_dtype, name="Conv1")(x, train=train)
-        e2 = ConvBlock(32, self.dtype, self.bn_dtype, name="Conv2")(nn.max_pool(e1, (2, 2), (2, 2)), train=train)
-        e3 = ConvBlock(64, self.dtype, self.bn_dtype, name="Conv3")(nn.max_pool(e2, (2, 2), (2, 2)), train=train)
-        e4 = ConvBlock(128, self.dtype, self.bn_dtype, name="Conv4")(nn.max_pool(e3, (2, 2), (2, 2)), train=train)
-        e5 = ConvBlock(256, self.dtype, self.bn_dtype, name="Conv5")(nn.max_pool(e4, (2, 2), (2, 2)), train=train)
+        e1 = ConvBlock(16, self.dtype, self.bn_dtype, name="Conv1")(x, train=train, bn_mask=bn_mask)
+        e2 = ConvBlock(32, self.dtype, self.bn_dtype, name="Conv2")(nn.max_pool(e1, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
+        e3 = ConvBlock(64, self.dtype, self.bn_dtype, name="Conv3")(nn.max_pool(e2, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
+        e4 = ConvBlock(128, self.dtype, self.bn_dtype, name="Conv4")(nn.max_pool(e3, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
+        e5 = ConvBlock(256, self.dtype, self.bn_dtype, name="Conv5")(nn.max_pool(e4, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
 
-        d5 = UpConv(128, self.dtype, self.bn_dtype, name="Up5")(e5, train=train)
-        d5 = ConvBlock(128, self.dtype, self.bn_dtype, name="Up_conv5")(jnp.concatenate([e4, d5], axis=-1), train=train)
+        d5 = UpConv(128, self.dtype, self.bn_dtype, name="Up5")(e5, train=train, bn_mask=bn_mask)
+        d5 = ConvBlock(128, self.dtype, self.bn_dtype, name="Up_conv5")(jnp.concatenate([e4, d5], axis=-1), train=train, bn_mask=bn_mask)
 
-        d4 = UpConv(64, self.dtype, self.bn_dtype, name="Up4")(d5, train=train)
-        d4 = ConvBlock(64, self.dtype, self.bn_dtype, name="Up_conv4")(jnp.concatenate([e3, d4], axis=-1), train=train)
+        d4 = UpConv(64, self.dtype, self.bn_dtype, name="Up4")(d5, train=train, bn_mask=bn_mask)
+        d4 = ConvBlock(64, self.dtype, self.bn_dtype, name="Up_conv4")(jnp.concatenate([e3, d4], axis=-1), train=train, bn_mask=bn_mask)
 
-        d3 = UpConv(32, self.dtype, self.bn_dtype, name="Up3")(d4, train=train)
-        d3 = ConvBlock(32, self.dtype, self.bn_dtype, name="Up_conv3")(jnp.concatenate([e2, d3], axis=-1), train=train)
+        d3 = UpConv(32, self.dtype, self.bn_dtype, name="Up3")(d4, train=train, bn_mask=bn_mask)
+        d3 = ConvBlock(32, self.dtype, self.bn_dtype, name="Up_conv3")(jnp.concatenate([e2, d3], axis=-1), train=train, bn_mask=bn_mask)
 
-        d2 = UpConv(16, self.dtype, self.bn_dtype, name="Up2")(d3, train=train)
-        d2 = ConvBlock(16, self.dtype, self.bn_dtype, name="Up_conv2")(jnp.concatenate([e1, d2], axis=-1), train=train)
+        d2 = UpConv(16, self.dtype, self.bn_dtype, name="Up2")(d3, train=train, bn_mask=bn_mask)
+        d2 = ConvBlock(16, self.dtype, self.bn_dtype, name="Up_conv2")(jnp.concatenate([e1, d2], axis=-1), train=train, bn_mask=bn_mask)
 
         logits = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
                          kernel_init=_conv_init(self.dtype), name="DeConv_1x1")(d2)

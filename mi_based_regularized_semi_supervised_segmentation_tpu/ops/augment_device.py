@@ -100,7 +100,15 @@ def augment_pair_batch(
 
     valid_hw/offsets (from DeviceDataStore) confine random crops to each
     slice's valid window on the padded canvas — reference RandomCrop
-    semantics over mixed-size slices."""
+    semantics over mixed-size slices.
+
+    The rotation stays the single 2-D gather: every alternative measured
+    SLOWER on v5e (3-shear via 27 static rolls+selects: 32 ms u8; via
+    per-row dynamic slices: 27 ms; one lane-axis take_along_axis shear
+    alone costs 16 ms — the same as the whole 2-D gather, so gather cost
+    here is per-element regardless of axis). The e2e win comes from the
+    pipelined epoch scan hiding this gather under the previous step's
+    compute (engine/steps.py build_epoch_scan_pipelined) instead."""
     B, H, W = images.shape
     k_rot, k_v, k_h, k_y, k_x, k_b, k_c = jax.random.split(key, 7)
     img = images.astype(jnp.float32)

@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--batches", type=int, default=None)
     ap.add_argument("--seeds", type=int, nargs="*", default=None)
     ap.add_argument("--modes", nargs="*", default=None)
+    ap.add_argument("--fixture", choices=["v1", "v2"], default="v1",
+                    help="v2: cross-scale class-diagnostic texture so the "
+                         "local-MI term has real signal (VERDICT r2 item 5)")
     args = ap.parse_args()
 
     epochs = args.epochs or (2 if args.quick else 50)
@@ -100,9 +103,11 @@ def main():
 
     # HARD fixture: 40 train patients (5% labels = 2 patients), noisy
     # low-contrast phantoms — partial supervision underfits here.
-    data_root = os.environ.get("STUDY_DATA", "/tmp/study_data")
+    default_root = "/tmp/study_data" if args.fixture == "v1" else "/tmp/study_data_v2"
+    data_root = os.environ.get("STUDY_DATA", default_root)
     _gen(data_root, num_train_patients=40, num_val_patients=8,
-         slices_per_patient=10, size=256, hard=True, seed=0)
+         slices_per_patient=10, size=256, hard=True, seed=0,
+         v2=args.fixture == "v2")
 
     modes = tuple(args.modes) if args.modes else MODES
     for mode in modes:
