@@ -69,7 +69,11 @@ def _build(dtype_name: str, data_store=None, jit=True):
     dtype = _dtype(dtype_name)
     bn_dtype = _dtype(os.environ.get("BENCH_BN_DTYPE", dtype_name))
     backend = os.environ.get("BENCH_BACKEND", "auto")
-    model = UNet(input_dim=1, num_classes=NUM_CLASSES, dtype=dtype, bn_dtype=bn_dtype)
+    # BENCH_STEM=s2d: experimental space-to-depth stem (models/unet.py) —
+    # NOT parity; for measuring the conv-floor lever only
+    stem = os.environ.get("BENCH_STEM", "conv")
+    model = UNet(input_dim=1, num_classes=NUM_CLASSES, dtype=dtype,
+                 bn_dtype=bn_dtype, stem=stem)
     projector = ProjectorWrapper(
         feature_names=FEATURE_NAMES, num_clusters=20, num_subheads=5,
         head_types="linear", normalize=False, local_dtype=dtype, local_flat=True,

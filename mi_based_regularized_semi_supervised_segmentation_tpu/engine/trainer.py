@@ -114,7 +114,8 @@ class SemiTrainer:
             precision.get("bn_dtype", "float32")
         ]
         self._model = UNet(input_dim=self._input_dim, num_classes=self._num_classes,
-                           dtype=dtype, bn_dtype=bn_dtype)
+                           dtype=dtype, bn_dtype=bn_dtype,
+                           stem=str(arch.get("stem", "conv")))
 
         trainer_cfg = cfg.get("Trainer", {})
         self._feature_names = list(trainer_cfg.get("feature_names", []))
@@ -245,12 +246,23 @@ class SemiTrainer:
                 jit=False,
                 **self._step_kwargs,
             )
-            if self._pipelined:
-                aug_fn = build_augment_fn(self._data_stores, crop=self._crop_size)
-                self._epoch_fn = build_epoch_scan_pipelined(
-                    aug_fn, raw_step, self._num_batches)
-            else:
-                self._epoch_fn = build_epoch_scan(raw_step, self._num_batches)
+            # Chunked dispatch (liveness): a full-budget 300-step epoch as
+            # ONE program blocks 12+ s silently; splitting into <=scan_chunk
+            # step programs gives a progress line per chunk at negligible
+            # dispatch cost. Numerics are identical for the default scan
+            # (state chains through chunks).
+            self._scan_chunk = max(int(trainer_cfg.get("scan_chunk", 100)), 1)
+            chunks = self._chunk_sizes(self._num_batches, self._scan_chunk)
+            aug_fn = (build_augment_fn(self._data_stores, crop=self._crop_size)
+                      if self._pipelined else None)
+
+            def make_epoch_fn(size: int):
+                if self._pipelined:
+                    return build_epoch_scan_pipelined(aug_fn, raw_step, size)
+                return build_epoch_scan(raw_step, size)
+
+            self._epoch_fns = {size: make_epoch_fn(size) for size in set(chunks)}
+            self._epoch_chunks = chunks
             self._eval_scan_val = build_eval_scan(
                 self._model, num_classes=self._num_classes,
                 data_store=self._val_store, crop=self._crop_size)
@@ -423,16 +435,17 @@ class SemiTrainer:
             spec = P(None, axis)
         return jax.device_put(stacked, NamedSharding(self._mesh, spec))
 
+    @staticmethod
+    def _chunk_sizes(total: int, chunk: int) -> list:
+        sizes = [chunk] * (total // chunk)
+        if total % chunk:
+            sizes.append(total % chunk)
+        return sizes
+
     def _run_epoch_scan(self, epoch: int, meters) -> Dict[str, Dict[str, float]]:
-        """One-XLA-program epoch: draw all index batches, one dispatch, one
-        metric readback."""
-        if self._progress:
-            # an epoch is ONE device program here; announce the dispatch so
-            # the 10s+ block isn't silent (per-step feedback would force
-            # host syncs and defeat the scan)
-            print(f"\r[{self.mode}] epoch {epoch:03d}: dispatching "
-                  f"{self._num_batches} steps as one program …",
-                  end="", flush=True)
+        """Epoch as a handful of scan programs (<=scan_chunk steps each):
+        near-zero dispatch overhead, one metric readback per chunk, and a
+        progress line between chunks so full-budget epochs aren't silent."""
         lab_idx, unlab_idx, group_lists = [], [], []
         lab_it = iter(self._labeled_index_loader)
         unlab_it = iter(self._unlabeled_index_loader)
@@ -448,14 +461,24 @@ class SemiTrainer:
             return np.pad(stacked, ((0, 0), (0, target - stacked.shape[1])),
                           mode="edge")
 
-        batches = {
-            "labeled_indices": self._put_index_batches(
-                pad_cols(np.stack(lab_idx), self._lab_bs_padded)),
-            "unlabeled_indices": self._put_index_batches(
-                pad_cols(np.stack(unlab_idx), self._unlab_bs_padded)),
-        }
-        self._state, stacked = self._epoch_fn(self._state, batches)
-        stacked = jax.device_get(stacked)  # ONE readback for the whole epoch
+        lab_all = pad_cols(np.stack(lab_idx), self._lab_bs_padded)
+        unlab_all = pad_cols(np.stack(unlab_idx), self._unlab_bs_padded)
+        chunk_stacked, done = [], 0
+        for size in self._epoch_chunks:
+            if self._progress:
+                print(f"\r[{self.mode}] epoch {epoch:03d}: scan "
+                      f"{done}/{self._num_batches} steps …", end="", flush=True)
+            batches = {
+                "labeled_indices": self._put_index_batches(
+                    lab_all[done:done + size]),
+                "unlabeled_indices": self._put_index_batches(
+                    unlab_all[done:done + size]),
+            }
+            self._state, part = self._epoch_fns[size](self._state, batches)
+            chunk_stacked.append(jax.device_get(part))
+            done += size
+        stacked = {k: np.concatenate([np.asarray(c[k]) for c in chunk_stacked])
+                   for k in chunk_stacked[0]}
 
         total = np.asarray(stacked["total_loss"])
         if not np.all(np.isfinite(total)):

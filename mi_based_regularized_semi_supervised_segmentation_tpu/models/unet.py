@@ -92,11 +92,36 @@ class UpConv(nn.Module):
         return nn.relu(x)
 
 
+def space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/r, W/r, r*r*C] (pixel-unshuffle)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // r, W // r, r * r * C)
+
+
+def depth_to_space(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[B, H, W, r*r*C] -> [B, H*r, W*r, C] (pixel-shuffle)."""
+    B, H, W, RC = x.shape
+    C = RC // (r * r)
+    x = x.reshape(B, H, W, r, r, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * r, W * r, C)
+
+
 class UNet(nn.Module):
+    """stem="conv" is the reference-parity architecture. stem="s2d" is an
+    EXPERIMENTAL throughput variant (SURVEY §6 conv-floor lever): the input
+    is pixel-unshuffled 2x (224²x1 -> 112²x4) before Conv1 and the logits
+    are predicted as 4·C channels at half resolution and pixel-shuffled
+    back — the two 16-channel full-resolution stages (the worst MXU
+    utilization in the net) then run at quarter area. Feature taps keep
+    their names at the halved grid. NOT parity: capability must be
+    spot-checked before production use."""
+
     input_dim: int = 1
     num_classes: int = 4
     dtype: Any = jnp.float32
     bn_dtype: Any = jnp.float32
+    stem: str = "conv"
 
     dimension_dict = UNET_DIMENSIONS
 
@@ -129,6 +154,8 @@ class UNet(nn.Module):
         rounded up to the device count) keeps BN parity by excluding pad rows
         from every layer's batch statistics."""
         x = x.astype(self.dtype)
+        if self.stem == "s2d":
+            x = space_to_depth(x, 2)
         e1 = ConvBlock(16, self.dtype, self.bn_dtype, name="Conv1")(x, train=train, bn_mask=bn_mask)
         e2 = ConvBlock(32, self.dtype, self.bn_dtype, name="Conv2")(nn.max_pool(e1, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
         e3 = ConvBlock(64, self.dtype, self.bn_dtype, name="Conv3")(nn.max_pool(e2, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
@@ -147,8 +174,11 @@ class UNet(nn.Module):
         d2 = UpConv(16, self.dtype, self.bn_dtype, name="Up2")(d3, train=train, bn_mask=bn_mask)
         d2 = ConvBlock(16, self.dtype, self.bn_dtype, name="Up_conv2")(jnp.concatenate([e1, d2], axis=-1), train=train, bn_mask=bn_mask)
 
-        logits = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
+        head_ch = self.num_classes * (4 if self.stem == "s2d" else 1)
+        logits = nn.Conv(head_ch, (1, 1), use_bias=True, dtype=self.dtype,
                          kernel_init=_conv_init(self.dtype), name="DeConv_1x1")(d2)
+        if self.stem == "s2d":
+            logits = depth_to_space(logits, 2)
         logits = logits.astype(jnp.float32)
 
         if return_features:

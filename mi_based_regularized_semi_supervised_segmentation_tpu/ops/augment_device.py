@@ -94,6 +94,7 @@ def augment_pair_batch(
     flips: bool = True,
     valid_hw: Optional[jnp.ndarray] = None,   # [B, 2] valid (h, w) per slice
     offsets: Optional[jnp.ndarray] = None,    # [B, 2] canvas (top, left)
+    fused_geometry: bool = True,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full reference-pretrain augmentation, synchronized image/label.
     Returns (image [B, crop, crop, 1] float32 in [0,~1.5], label [B, crop, crop]).
@@ -102,13 +103,16 @@ def augment_pair_batch(
     slice's valid window on the padded canvas — reference RandomCrop
     semantics over mixed-size slices.
 
-    The rotation stays the single 2-D gather: every alternative measured
-    SLOWER on v5e (3-shear via 27 static rolls+selects: 32 ms u8; via
-    per-row dynamic slices: 27 ms; one lane-axis take_along_axis shear
-    alone costs 16 ms — the same as the whole 2-D gather, so gather cost
-    here is per-element regardless of axis). The e2e win comes from the
-    pipelined epoch scan hiding this gather under the previous step's
-    compute (engine/steps.py build_epoch_scan_pipelined) instead."""
+    fused_geometry (default): rotate ∘ flip ∘ crop compose into ONE gather
+    that produces the crop²-sized output directly — bit-identical to the
+    sequential path (the only rounding, rint of the rotated source, is the
+    same) but gathers crop²/canvas² of the elements and skips the separate
+    flip and crop passes. Gathers dominate the augmentation on TPU
+    (~13 cycles/element, serialized on the core): every roll/shear-based
+    rotation alternative measured SLOWER than the single 2-D gather
+    (3-shear via 27 static rolls+selects: 32 ms; per-row dynamic slices:
+    27 ms; one lane-axis take_along_axis shear alone: 16 ms — the cost of
+    this whole gather), so shrinking the one gather is the lever."""
     B, H, W = images.shape
     k_rot, k_v, k_h, k_y, k_x, k_b, k_c = jax.random.split(key, 7)
     img = images.astype(jnp.float32)
@@ -116,17 +120,12 @@ def augment_pair_batch(
         img = img / 255.0
     lab = labels.astype(jnp.int32) if labels is not None else None
 
+    angles = None
     if rotation:
         angles = jax.random.uniform(k_rot, (B,), minval=-rotation, maxval=rotation)
-        img = rotate_nearest_batch(img, angles)
-        if lab is not None:
-            lab = rotate_nearest_batch(lab, angles)
     if flips:
         v = jax.random.bernoulli(k_v, 0.5, (B,))
         h = jax.random.bernoulli(k_h, 0.5, (B,))
-        img = flip_batch(img, v, h)
-        if lab is not None:
-            lab = flip_batch(lab, v, h)
         if offsets is not None:
             # flipping the canvas moves the valid window: top -> H - top - h
             top = jnp.where(v, H - offsets[:, 0] - valid_hw[:, 0], offsets[:, 0])
@@ -138,9 +137,49 @@ def augment_pair_batch(
     else:
         ys = jax.random.randint(k_y, (B,), 0, max(H - crop, 0) + 1)
         xs = jax.random.randint(k_x, (B,), 0, max(W - crop, 0) + 1)
-    img = crop_batch(img, ys, xs, crop)
-    if lab is not None:
-        lab = crop_batch(lab, ys, xs, crop)
+
+    if fused_geometry:
+        # composed source coords for the crop output: crop -> flip -> rotate
+        ii = jnp.arange(crop, dtype=jnp.float32)[None, :, None]  # out row
+        jj = jnp.arange(crop, dtype=jnp.float32)[None, None, :]  # out col
+        y1 = ys[:, None, None].astype(jnp.float32) + ii  # post-flip canvas
+        x1 = xs[:, None, None].astype(jnp.float32) + jj
+        if flips:
+            y1 = jnp.where(v[:, None, None], (H - 1) - y1, y1)
+            x1 = jnp.where(h[:, None, None], (W - 1) - x1, x1)
+        if angles is not None:
+            theta = jnp.deg2rad(angles)[:, None, None]
+            cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+            dy, dx = y1 - cy, x1 - cx
+            src_x = jnp.cos(theta) * dx - jnp.sin(theta) * dy + cx
+            src_y = jnp.sin(theta) * dx + jnp.cos(theta) * dy + cy
+        else:
+            src_y, src_x = y1, x1
+        sy = jnp.rint(src_y).astype(jnp.int32)
+        sx = jnp.rint(src_x).astype(jnp.int32)
+        ok = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
+        syc = jnp.clip(sy, 0, H - 1)
+        sxc = jnp.clip(sx, 0, W - 1)
+
+        def gather_one(src, yy, xx, valid):
+            vals = src[yy, xx]
+            return jnp.where(valid, vals, jnp.zeros((), vals.dtype))
+
+        img = jax.vmap(gather_one)(img, syc, sxc, ok)
+        if lab is not None:
+            lab = jax.vmap(gather_one)(lab, syc, sxc, ok)
+    else:
+        if angles is not None:
+            img = rotate_nearest_batch(img, angles)
+            if lab is not None:
+                lab = rotate_nearest_batch(lab, angles)
+        if flips:
+            img = flip_batch(img, v, h)
+            if lab is not None:
+                lab = flip_batch(lab, v, h)
+        img = crop_batch(img, ys, xs, crop)
+        if lab is not None:
+            lab = crop_batch(lab, ys, xs, crop)
     if jitter is not None:
         lo, hi = jitter
         brightness = jax.random.uniform(k_b, (B, 1, 1), minval=lo, maxval=hi)

@@ -153,3 +153,27 @@ def test_device_data_train_and_eval_step(data_root):
              jnp.asarray([True, True, True, False]))
     assert np.isfinite(float(out["loss"]))
     assert out["inter"].shape == (1, 4)
+
+
+def test_fused_geometry_matches_sequential(rng):
+    """The composed rotate∘flip∘crop single-gather path is bit-identical to
+    the sequential rotate -> flip -> crop path (same key stream, same rint)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W, crop = 5, 64, 64, 48
+    imgs = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    labs = rng.integers(0, 4, (B, H, W)).astype(np.uint8)
+    valid_hw = np.tile(np.array([[H, W]], np.int32), (B, 1))
+    valid_hw[0] = (40, 30)  # one narrow slice exercises the window logic
+    offsets = np.zeros((B, 2), np.int32)
+    offsets[0] = (10, 20)
+    key = jax.random.PRNGKey(7)
+    kwargs = dict(crop=crop, valid_hw=jnp.asarray(valid_hw),
+                  offsets=jnp.asarray(offsets))
+    img_f, lab_f = augment_pair_batch(key, jnp.asarray(imgs), jnp.asarray(labs),
+                                      fused_geometry=True, **kwargs)
+    img_s, lab_s = augment_pair_batch(key, jnp.asarray(imgs), jnp.asarray(labs),
+                                      fused_geometry=False, **kwargs)
+    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_s))
+    np.testing.assert_array_equal(np.asarray(lab_f), np.asarray(lab_s))

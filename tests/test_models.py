@@ -128,3 +128,29 @@ def test_weight_norm_dump():
     assert all(isinstance(x, float) and x >= 0 for x in wn.values())
     key = next(iter(wn))
     assert "." in key and key.split(".")[0] in v["params"]
+
+
+def test_unet_s2d_stem_shapes(rng):
+    """Experimental space-to-depth stem: logits stay full-resolution, taps
+    land on the halved grid, s2d/d2s round-trip exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models.unet import (
+        UNet,
+        depth_to_space,
+        space_to_depth,
+    )
+
+    x = rng.random((2, 8, 8, 3)).astype("float32")
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(jnp.asarray(x), 2), 2)), x)
+
+    model = UNet(input_dim=1, num_classes=4, stem="s2d")
+    inp = jnp.asarray(rng.random((2, 32, 32, 1)).astype("float32"))
+    variables = model.init(jax.random.PRNGKey(0), inp, train=False)
+    logits, feats = model.apply(variables, inp, train=False, return_features=True)
+    assert logits.shape == (2, 32, 32, 4)
+    assert feats["Conv1"].shape == (2, 16, 16, 16)   # halved grid
+    assert feats["Conv5"].shape == (2, 1, 1, 256)
+    assert feats["Up_conv2"].shape == (2, 16, 16, 16)

@@ -449,3 +449,38 @@ def test_pipelined_scan_matches_reference_loop(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_pipe.params)),
                     jax.tree_util.tree_leaves(jax.device_get(s_ref.params))):
         np.testing.assert_allclose(a, b, rtol=0, atol=6.2e-3)
+
+
+def test_space_axis_sharded_conv_numerics(rng):
+    """2-D mesh (data x space): H-sharded U-Net forward+loss numerics match
+    the 1-D data-parallel result — validates the Parallel.space_size config
+    key beyond mesh shape (XLA handles the conv halo exchange)."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.parallel import (
+        batch_sharding,
+    )
+
+    crop, C = 16, 3
+    batch_np = {
+        "labeled_image": rng.random((8, crop, crop, 1)).astype(np.float32),
+        "labeled_target": rng.integers(0, C, (8, crop, crop)).astype(np.int32),
+        "unlabeled_image": rng.random((8, crop, crop, 1)).astype(np.float32),
+    }
+    _, _, state1, step1 = _sharded_setup(None, crop, C)
+    s1, m1 = step1(state1, {k: jnp.asarray(v) for k, v in batch_np.items()})
+
+    mesh = make_mesh(8, space_axis="space", space_size=2)  # 4 data x 2 space
+    _, _, state2, step2 = _sharded_setup(mesh, crop, C)
+    state2 = replicate_state(state2, mesh)
+    sharding = batch_sharding(mesh, space_axis="space")  # batch on data, H on space
+    batch = {
+        "labeled_image": jax.device_put(batch_np["labeled_image"], sharding),
+        "labeled_target": jax.device_put(batch_np["labeled_target"], sharding),
+        "unlabeled_image": jax.device_put(batch_np["unlabeled_image"], sharding),
+    }
+    assert len(batch["labeled_image"].sharding.device_set) == 8
+    s2, m2 = step2(state2, batch)
+    assert np.isclose(float(m1["sup_loss"]), float(m2["sup_loss"]), rtol=1e-4)
+    assert np.isclose(float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2.5e-3)
