@@ -292,8 +292,268 @@ class VNet(nn.Module):
                        name="head")(s7)
 
 
+
+
+# --------------------------------------------------------------------------
+# DeepLab family (WHEEL::deepclustering2/arch/segmentation/deeplab/ —
+# deeplabv2.py / deeplabv3.py / deeplabv3plus.py over a dilated ResNet).
+# TPU-first re-design, not a translation: NHWC bottleneck ResNet with
+# stage dilations instead of strides (output stride 8), ASPP expressed as
+# plain convs + a global-mean image branch (broadcast add, no interpolate
+# of a 1x1 map), bilinear resize back to the input grid. Channel plan is
+# configurable; the reference's COCO-scale [3, 4, 23, 3] default is
+# reachable via n_blocks.
+# --------------------------------------------------------------------------
+class _BottleneckRes(nn.Module):
+    """1x1 -> 3x3(dilated) -> 1x1 residual bottleneck, BN + ReLU."""
+
+    ch: int           # bottleneck width; output is 4*ch
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        out_ch = 4 * self.ch
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.bn_dtype, name=name)
+        h = nn.Conv(self.ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="reduce")(x)
+        h = nn.relu(bn("bn1")(h))
+        h = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    padding=self.dilation, use_bias=False, dtype=self.dtype,
+                    name="conv")(h)
+        h = nn.relu(bn("bn2")(h))
+        h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="expand")(h)
+        h = bn("bn3")(h)
+        if x.shape[-1] != out_ch or self.stride != 1:
+            x = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype, name="proj")(x)
+            x = bn("bn_proj")(x)
+        return nn.relu(x + h)
+
+
+class _DilatedResNet(nn.Module):
+    """ResNet stem + 4 bottleneck stages; stages 3/4 trade stride for
+    dilation (output stride 8). Returns (low_level, features)."""
+
+    input_dim: int = 3
+    n_blocks: Any = (2, 2, 2, 2)
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="stem")(x)
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.bn_dtype,
+                                 name="stem_bn")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        plan = [  # (width, stride, dilation)
+            (64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)
+        ]
+        low = None
+        for si, ((ch, stride, dil), n) in enumerate(zip(plan, self.n_blocks)):
+            for bi in range(n):
+                x = _BottleneckRes(ch, stride if bi == 0 else 1, dil,
+                                   self.dtype, self.bn_dtype,
+                                   name=f"layer{si + 1}_{bi}")(x, train=train)
+            if si == 0:
+                low = x  # os=4 low-level features for the v3+ decoder
+        return low, x
+
+
+class DeepLabV2(nn.Module):
+    """Backbone -> summed dilated-conv logits (the v2 ASPP) -> resize."""
+
+    input_dim: int = 3
+    num_classes: int = 10
+    n_blocks: Any = (2, 2, 2, 2)
+    pyramids: Any = (6, 12, 18, 24)
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, H, W, _ = x.shape
+        _, feat = _DilatedResNet(self.input_dim, self.n_blocks, self.dtype,
+                                 self.bn_dtype, name="backbone")(x, train=train)
+        logits = sum(
+            nn.Conv(self.num_classes, (3, 3), kernel_dilation=(d, d),
+                    padding=d, dtype=self.dtype, name=f"aspp{i}")(feat)
+            for i, d in enumerate(self.pyramids)
+        )
+        logits = jax.image.resize(logits, (B, H, W, self.num_classes),
+                                  method="bilinear")
+        return logits.astype(jnp.float32)
+
+
+class _ASPPv3(nn.Module):
+    """1x1 + dilated 3x3 branches + image-level pooling, concat -> 1x1."""
+
+    ch: int = 256
+    rates: Any = (6, 12, 18)
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.bn_dtype, name=name)
+        branches = [nn.relu(bn("bn_1x1")(
+            nn.Conv(self.ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="c_1x1")(x)))]
+        for i, d in enumerate(self.rates):
+            branches.append(nn.relu(bn(f"bn_r{i}")(
+                nn.Conv(self.ch, (3, 3), kernel_dilation=(d, d), padding=d,
+                        use_bias=False, dtype=self.dtype, name=f"c_r{i}")(x))))
+        # image-level branch: global mean -> 1x1 -> broadcast back
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = nn.relu(bn("bn_img")(
+            nn.Conv(self.ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="c_img")(pooled)))
+        branches.append(jnp.broadcast_to(
+            pooled, x.shape[:3] + (self.ch,)))
+        h = jnp.concatenate(branches, axis=-1)
+        h = nn.Conv(self.ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project")(h)
+        return nn.relu(bn("bn_proj")(h))
+
+
+class DeepLabV3(nn.Module):
+    input_dim: int = 3
+    num_classes: int = 10
+    n_blocks: Any = (2, 2, 2, 2)
+    rates: Any = (6, 12, 18)
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, H, W, _ = x.shape
+        _, feat = _DilatedResNet(self.input_dim, self.n_blocks, self.dtype,
+                                 self.bn_dtype, name="backbone")(x, train=train)
+        h = _ASPPv3(256, self.rates, self.dtype, self.bn_dtype,
+                    name="aspp")(feat, train=train)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                         name="classifier")(h)
+        logits = jax.image.resize(logits, (B, H, W, self.num_classes),
+                                  method="bilinear")
+        return logits.astype(jnp.float32)
+
+
+class DeepLabV3Plus(nn.Module):
+    """v3 ASPP + the v3+ decoder: concat 48-ch low-level (os=4) features
+    with the upsampled ASPP output, refine with two 3x3 convs."""
+
+    input_dim: int = 3
+    num_classes: int = 10
+    n_blocks: Any = (2, 2, 2, 2)
+    rates: Any = (6, 12, 18)
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, H, W, _ = x.shape
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.bn_dtype, name=name)
+        low, feat = _DilatedResNet(self.input_dim, self.n_blocks, self.dtype,
+                                   self.bn_dtype, name="backbone")(x, train=train)
+        h = _ASPPv3(256, self.rates, self.dtype, self.bn_dtype,
+                    name="aspp")(feat, train=train)
+        lb, lh, lw, _ = low.shape
+        h = jax.image.resize(h, (lb, lh, lw, h.shape[-1]), method="bilinear")
+        low = nn.relu(bn("bn_low")(
+            nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="low_proj")(low)))
+        h = jnp.concatenate([h, low], axis=-1)
+        for i in range(2):
+            h = nn.relu(bn(f"bn_dec{i}")(
+                nn.Conv(256, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"dec{i}")(h)))
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                         name="classifier")(h)
+        logits = jax.image.resize(logits, (B, H, W, self.num_classes),
+                                  method="bilinear")
+        return logits.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# 3-D DenseNet (WHEEL::deepclustering2/arch/segmentation/threedim/
+# threed_densenet.py): volumetric DenseNet classifier — BN-ReLU-1x1x1 ->
+# BN-ReLU-3x3x3 dense layers with channel concat, transition down-blocks,
+# global pooling head. NDHWC layout.
+# --------------------------------------------------------------------------
+class _DenseLayer3D(nn.Module):
+    growth: int
+    bn_size: int = 4
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.bn_dtype, name=name)
+        h = nn.Conv(self.bn_size * self.growth, (1, 1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(nn.relu(bn("bn1")(x)))
+        h = nn.Conv(self.growth, (3, 3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(nn.relu(bn("bn2")(h)))
+        return jnp.concatenate([x, h], axis=-1)
+
+
+class DenseNet3D(nn.Module):
+    """Volumetric DenseNet classifier: input [B, D, H, W, input_dim] ->
+    class logits [B, num_classes]."""
+
+    input_dim: int = 1
+    num_classes: int = 2
+    growth_rate: int = 16
+    block_config: Any = (2, 2, 2)
+    init_features: int = 32
+    dtype: Any = jnp.float32
+    bn_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.bn_dtype, name=name)
+        x = nn.Conv(self.init_features, (3, 3, 3), strides=(1, 2, 2),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="stem")(x)
+        for bi, n_layers in enumerate(self.block_config):
+            for li in range(n_layers):
+                x = _DenseLayer3D(self.growth_rate, dtype=self.dtype,
+                                  bn_dtype=self.bn_dtype,
+                                  name=f"block{bi}_layer{li}")(x, train=train)
+            if bi != len(self.block_config) - 1:
+                # transition: 1x1x1 channel halving + average pool /2
+                x = nn.Conv(x.shape[-1] // 2, (1, 1, 1), use_bias=False,
+                            dtype=self.dtype, name=f"trans{bi}")(
+                    nn.relu(bn(f"trans_bn{bi}")(x)))
+                x = nn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2))
+        x = nn.relu(bn("final_bn")(x))
+        x = jnp.mean(x, axis=(1, 2, 3))  # global pool over D, H, W
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="classifier")(x)
+        return logits.astype(jnp.float32)
+
+
 register_arch("ContrastUnet", UNet)
 register_arch("unet", UNet)
 register_arch("enet", ENet)
 register_arch("attention_unet", AttentionUNet)
 register_arch("vnet", VNet)
+register_arch("deeplabv2", DeepLabV2)
+register_arch("deeplabv3", DeepLabV3)
+register_arch("deeplabv3plus", DeepLabV3Plus)
+register_arch("densenet3d", DenseNet3D)

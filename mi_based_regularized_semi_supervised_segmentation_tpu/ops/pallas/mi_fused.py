@@ -104,17 +104,26 @@ def _softmax_vjp_block(p_f32, dq, S, K, C, T, dot_dtype, out_dtype):
 
 
 def _fwd_kernel(offsets, band, cp, S, K, T, shift, n_real, hp, wp, p, dot_dtype):
-    def kernel(a_ref, a_next_ref, b_ref, out_ref):
+    """Band cache (round-3): the 2-band A window of step i shares its second
+    half with step i+1's first half — a VMEM scratch carries the masked
+    probs across sequential grid steps so each A row's softmax runs ONCE
+    (2 softmax bands/step instead of 3; the serialized VPU softmax was the
+    fused path's loss vs the unfused kernel)."""
+
+    def kernel(a_ref, a_next_ref, b_ref, out_ref, cache_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
+            va0 = _row_valid(-shift, band, n_real, hp, wp, p)
+            p0, _ = _group_softmax_block(a_ref[...], S, K, T, va0, dot_dtype)
+            cache_ref[...] = p0
 
-        base_a = i * band - shift
-        full_z = jnp.concatenate([a_ref[...], a_next_ref[...]], axis=0)
-        va = _row_valid(base_a, 2 * band, n_real, hp, wp, p)
-        a_p, _ = _group_softmax_block(full_z, S, K, T, va, dot_dtype)
+        va1 = _row_valid(i * band - shift + band, band, n_real, hp, wp, p)
+        p1, _ = _group_softmax_block(a_next_ref[...], S, K, T, va1, dot_dtype)
+        a_p = jnp.concatenate([cache_ref[...], p1], axis=0)
+        cache_ref[...] = p1  # becomes step i+1's first half
 
         vb = _row_valid(i * band, band, n_real, hp, wp, p)
         b_p, _ = _group_softmax_block(b_ref[...], S, K, T, vb, dot_dtype)
@@ -140,12 +149,19 @@ def _bwd_kernel(offsets, band, cp, S, K, T, src_shift, own_start_shift,
     own tall row of kernel row r = i*band + r + own_start_shift (0 here;
     kept explicit for clarity)."""
 
-    def kernel(src_ref, src_next_ref, own_ref, g_ref, out_ref):
+    def kernel(src_ref, src_next_ref, own_ref, g_ref, out_ref, cache_ref):
         i = pl.program_id(0)
-        base_src = i * band - src_shift
-        full_z = jnp.concatenate([src_ref[...], src_next_ref[...]], axis=0)
-        vs = _row_valid(base_src, 2 * band, n_real, hp, wp, p)
-        src_p, _ = _group_softmax_block(full_z, S, K, T, vs, dot_dtype)
+
+        @pl.when(i == 0)
+        def _():
+            vs0 = _row_valid(-src_shift, band, n_real, hp, wp, p)
+            p0, _ = _group_softmax_block(src_ref[...], S, K, T, vs0, dot_dtype)
+            cache_ref[...] = p0
+
+        vs1 = _row_valid(i * band - src_shift + band, band, n_real, hp, wp, p)
+        p1, _ = _group_softmax_block(src_next_ref[...], S, K, T, vs1, dot_dtype)
+        src_p = jnp.concatenate([cache_ref[...], p1], axis=0)
+        cache_ref[...] = p1
 
         dq = jnp.zeros((band, cp), jnp.float32)
         for d, off in enumerate(offsets):
@@ -206,6 +222,7 @@ def _fused_fwd(l1, l2, padding, S, K, T, band, dot_dtype):
         ],
         out_specs=pl.BlockSpec((D, C, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, C, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((band, C), dot_dtype)],
         interpret=_interpret(),
     )(a_pad, a_pad, b_tall)
     return out.reshape(Tt, Tt, C, C)
@@ -247,6 +264,7 @@ def _fused_bwd(l1, l2, g, padding, S, K, T, band, dot_dtype):
         ],
         out_specs=pl.BlockSpec((band, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nbands * band, C), l2.dtype),
+        scratch_shapes=[pltpu.VMEM((band, C), dot_dtype)],
         interpret=_interpret(),
     )(a_pad, a_pad, pad_own(b_tall), g_f32)
 
@@ -267,6 +285,7 @@ def _fused_bwd(l1, l2, g, padding, S, K, T, band, dot_dtype):
         ],
         out_specs=pl.BlockSpec((band, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nbands * band, C), l1.dtype),
+        scratch_shapes=[pltpu.VMEM((band, C), dot_dtype)],
         interpret=_interpret(),
     )(b_pad, b_pad, pad_own(a_tall), g_f32)
 

@@ -312,6 +312,216 @@ class TimeMeter(_Metric):
         return self.summary()
 
 
+class AUCMeter(_Metric):
+    """Binary ROC area (torchnet AUCMeter semantics,
+    WHEEL::…/torchnet/meter/aucmeter.py): accumulate 1-D scores + {0,1}
+    targets; value() returns (auc, tpr, fpr) with the stepwise ROC the
+    reference builds (scores sorted descending, trapezoid-free sum)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self._scores: List[np.ndarray] = []
+        self._targets: List[np.ndarray] = []
+
+    def add(self, output, target) -> None:
+        output = np.asarray(output, np.float64).reshape(-1)
+        target = np.asarray(target).reshape(-1)
+        assert output.shape == target.shape, (output.shape, target.shape)
+        assert np.all((target == 0) | (target == 1)), "targets must be 0/1"
+        self._scores.append(output)
+        self._targets.append(target.astype(np.int64))
+
+    def value(self):
+        if not self._scores:
+            return 0.5, np.zeros(1), np.zeros(1)
+        scores = np.concatenate(self._scores)
+        targets = np.concatenate(self._targets)
+        order = np.argsort(-scores, kind="stable")
+        t = targets[order]
+        n = scores.size
+        tpr = np.zeros(n + 1)
+        fpr = np.zeros(n + 1)
+        tpr[1:] = np.cumsum(t == 1)
+        fpr[1:] = np.cumsum(t == 0)
+        n_pos, n_neg = max(tpr[-1], 1.0), max(fpr[-1], 1.0)
+        tpr /= n_pos
+        fpr /= n_neg
+        # stepwise area: each FPR step contributes the TPR at that point
+        area = float(np.sum((fpr[1:] - fpr[:-1]) * tpr[1:]))
+        return area, tpr, fpr
+
+    def summary(self) -> Dict[str, float]:
+        return {"auc": self.value()[0]}
+
+
+class APMeter(_Metric):
+    """Per-class average precision over NxK score/binary-target pairs with
+    optional per-sample weights (torchnet APMeter semantics,
+    WHEEL::…/torchnet/meter/apmeter.py). value() -> [K] array."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self._scores: List[np.ndarray] = []
+        self._targets: List[np.ndarray] = []
+        self._weights: List[np.ndarray] = []
+
+    def add(self, output, target, weight=None) -> None:
+        output = np.atleast_2d(np.asarray(output, np.float64))
+        target = np.atleast_2d(np.asarray(target, np.float64))
+        assert output.shape == target.shape, (output.shape, target.shape)
+        assert np.all((target == 0) | (target == 1)), "targets must be 0/1"
+        if weight is not None:
+            weight = np.asarray(weight, np.float64).reshape(-1)
+            assert weight.shape[0] == output.shape[0]
+            assert np.all(weight >= 0)
+        else:
+            weight = np.ones(output.shape[0])
+        self._scores.append(output)
+        self._targets.append(target)
+        self._weights.append(weight)
+
+    def value(self) -> np.ndarray:
+        if not self._scores:
+            return np.zeros(0)
+        scores = np.concatenate(self._scores)       # [N, K]
+        targets = np.concatenate(self._targets)     # [N, K]
+        weights = np.concatenate(self._weights)     # [N]
+        K = scores.shape[1]
+        ap = np.zeros(K)
+        for k in range(K):
+            order = np.argsort(-scores[:, k], kind="stable")
+            truth = targets[order, k]
+            w = weights[order]
+            tp = np.cumsum(w * truth)
+            rank = np.cumsum(w)
+            precision = np.divide(tp, rank, out=np.zeros_like(tp),
+                                  where=rank > 0)
+            pos_weight = np.sum(w * truth)
+            if pos_weight > 0:
+                ap[k] = float(np.sum(precision * w * truth) / pos_weight)
+        return ap
+
+    def summary(self) -> Dict[str, float]:
+        v = self.value()
+        return {f"ap{k}": float(x) for k, x in enumerate(v)}
+
+
+class mAPMeter(_Metric):
+    """Mean of APMeter over classes (torchnet mAPMeter)."""
+
+    def __init__(self) -> None:
+        self._ap = APMeter()
+
+    def reset(self) -> None:
+        self._ap.reset()
+
+    def add(self, output, target, weight=None) -> None:
+        self._ap.add(output, target, weight)
+
+    def value(self) -> float:
+        v = self._ap.value()
+        return float(np.mean(v)) if v.size else 0.0
+
+    def summary(self) -> Dict[str, float]:
+        return {"mAP": self.value()}
+
+
+class ClassErrorMeter(_Metric):
+    """Top-k classification error (or accuracy) percentages over [N, C]
+    score rows + int targets (torchnet ClassErrorMeter semantics,
+    WHEEL::…/torchnet/meter/classerrormeter.py)."""
+
+    def __init__(self, topk: Sequence[int] = (1,), accuracy: bool = False) -> None:
+        self._topk = sorted(int(k) for k in topk)
+        self._accuracy = bool(accuracy)
+        self.reset()
+
+    def reset(self) -> None:
+        self._wrong = {k: 0 for k in self._topk}
+        self._n = 0
+
+    def add(self, output, target) -> None:
+        output = np.atleast_2d(np.asarray(output, np.float64))
+        target = np.asarray(target).reshape(-1)
+        assert output.shape[0] == target.shape[0], (output.shape, target.shape)
+        maxk = self._topk[-1]
+        # top-maxk class ids per row, best first
+        pred = np.argsort(-output, axis=1, kind="stable")[:, :maxk]
+        correct = pred == target[:, None]
+        for k in self._topk:
+            self._wrong[k] += int(output.shape[0] - correct[:, :k].sum())
+        self._n += output.shape[0]
+
+    def value(self, k: int = -1):
+        if k != -1:
+            assert k in self._wrong, f"invalid k {k}"
+            err = 100.0 * self._wrong[k] / max(self._n, 1)
+            return 100.0 - err if self._accuracy else err
+        return [self.value(k_) for k_ in self._topk]
+
+    def summary(self) -> Dict[str, float]:
+        name = "acc" if self._accuracy else "err"
+        return {f"{name}@{k}": self.value(k) for k in self._topk}
+
+
+class MovingAverageValueMeter(_Metric):
+    """Windowed mean/std (torchnet MovingAverageValueMeter)."""
+
+    def __init__(self, windowsize: int) -> None:
+        self._window = int(windowsize)
+        self.reset()
+
+    def reset(self) -> None:
+        self._queue = np.zeros(self._window)
+        self._n = 0
+
+    def add(self, value: float) -> None:
+        self._queue[self._n % self._window] = float(value)
+        self._n += 1
+
+    def value(self):
+        n = min(self._n, self._window)
+        vals = self._queue[:n]
+        if n == 0:
+            return 0.0, 0.0
+        mean = float(np.mean(vals))
+        std = float(np.std(vals, ddof=1)) if n > 1 else 0.0
+        return mean, std
+
+    def summary(self) -> Dict[str, float]:
+        mean, std = self.value()
+        return {"mean": mean, "std": std}
+
+
+class MSEMeter(_Metric):
+    """Accumulated (root) mean squared error (torchnet MSEMeter)."""
+
+    def __init__(self, root: bool = False) -> None:
+        self._root = bool(root)
+        self.reset()
+
+    def reset(self) -> None:
+        self._n = 0
+        self._sesum = 0.0
+
+    def add(self, output, target) -> None:
+        output = np.asarray(output, np.float64)
+        target = np.asarray(target, np.float64)
+        self._n += output.size
+        self._sesum += float(np.sum((output - target) ** 2))
+
+    def value(self) -> float:
+        mse = self._sesum / max(self._n, 1)
+        return math.sqrt(mse) if self._root else mse
+
+    def summary(self) -> Dict[str, float]:
+        return {"rmse" if self._root else "mse": self.value()}
+
+
 class MeterInterface:
     """Per-epoch registry of named meters."""
 

@@ -188,3 +188,91 @@ def test_time_meter():
     m.add(10)
     s = m.summary()
     assert s["rate"] > 0 and s["elapsed"] > 0
+
+
+# --- torchnet classification-meter zoo (round 3: closes the r2 partial) -----
+
+def test_auc_meter_perfect_and_random():
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils import AUCMeter
+
+    m = AUCMeter()
+    assert m.value()[0] == 0.5  # empty
+    m.add([0.9, 0.8, 0.2, 0.1], [1, 1, 0, 0])
+    auc, tpr, fpr = m.value()
+    assert auc == 1.0
+    assert tpr[-1] == 1.0 and fpr[-1] == 1.0
+    m.reset()
+    m.add([0.9, 0.1, 0.8, 0.2], [0, 1, 1, 0])  # one inversion each way
+    assert 0.0 < m.value()[0] < 1.0
+
+
+def test_auc_meter_matches_sklearn_formula():
+    # rank-based AUC equals the Mann-Whitney statistic
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils import AUCMeter
+
+    rng = np.random.default_rng(0)
+    scores = rng.random(200)
+    targets = (rng.random(200) < 0.4).astype(int)
+    m = AUCMeter()
+    m.add(scores, targets)
+    pos, neg = scores[targets == 1], scores[targets == 0]
+    mw = np.mean(pos[:, None] > neg[None, :]) + 0.5 * np.mean(pos[:, None] == neg[None, :])
+    assert abs(m.value()[0] - mw) < 1e-9
+
+
+def test_ap_meter_and_map():
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils import (
+        APMeter,
+        mAPMeter,
+    )
+
+    m = APMeter()
+    # class 0 perfectly ranked, class 1 inverted
+    m.add([[0.9, 0.1], [0.8, 0.6], [0.1, 0.9]],
+          [[1, 1], [1, 0], [0, 0]])
+    ap = m.value()
+    assert ap.shape == (2,)
+    assert ap[0] == 1.0
+    assert ap[1] < 1.0
+    mm = mAPMeter()
+    mm.add([[0.9], [0.1]], [[1], [0]])
+    assert mm.value() == 1.0
+    # weighted: duplicating a sample == weighting it 2x
+    a, b = APMeter(), APMeter()
+    a.add([[0.9], [0.7], [0.3]], [[1], [0], [1]], weight=[1, 2, 1])
+    b.add([[0.9], [0.7], [0.7], [0.3]], [[1], [0], [0], [1]])
+    np.testing.assert_allclose(a.value(), b.value(), rtol=1e-12)
+
+
+def test_class_error_meter_topk():
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils import (
+        ClassErrorMeter,
+    )
+
+    m = ClassErrorMeter(topk=[1, 2])
+    out = np.array([[0.1, 0.7, 0.2],   # pred 1, target 1: top1 ok
+                    [0.6, 0.3, 0.1],   # pred 0, target 1: top1 wrong, top2 ok
+                    [0.2, 0.3, 0.5]])  # pred 2, target 0: both wrong
+    m.add(out, [1, 1, 0])
+    assert m.value(1) == pytest.approx(100.0 * 2 / 3)
+    assert m.value(2) == pytest.approx(100.0 * 1 / 3)
+    acc = ClassErrorMeter(topk=[1], accuracy=True)
+    acc.add(out, [1, 1, 0])
+    assert acc.value(1) == pytest.approx(100.0 / 3)
+
+
+def test_moving_average_and_mse_meters():
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils import (
+        MovingAverageValueMeter,
+        MSEMeter,
+    )
+
+    m = MovingAverageValueMeter(3)
+    for v in (1.0, 2.0, 3.0, 4.0):  # window keeps [2, 3, 4]
+        m.add(v)
+    mean, std = m.value()
+    assert mean == pytest.approx(3.0)
+    assert std == pytest.approx(1.0)
+    e = MSEMeter(root=True)
+    e.add([0.0, 0.0], [3.0, 4.0])
+    assert e.value() == pytest.approx(np.sqrt(12.5))

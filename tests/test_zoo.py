@@ -58,3 +58,38 @@ def test_enet_train_mode_updates_bn(rng):
     before = jax.tree_util.tree_leaves(v["batch_stats"])
     after = jax.tree_util.tree_leaves(mut["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+
+def test_deeplab_family_shapes(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models.zoo import (
+        get_arch,
+    )
+
+    x = jnp.asarray(rng.random((2, 32, 32, 1)).astype("float32"))
+    for name in ("deeplabv2", "deeplabv3", "deeplabv3plus"):
+        model = get_arch(name, {"input_dim": 1, "num_classes": 4,
+                                "n_blocks": (1, 1, 1, 1)})
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out, _ = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+        assert out.shape == (2, 32, 32, 4), name
+        assert out.dtype == jnp.float32
+
+
+def test_densenet3d_classifier(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models.zoo import (
+        get_arch,
+    )
+
+    model = get_arch("densenet3d", {"input_dim": 1, "num_classes": 3,
+                                    "block_config": (1, 1)})
+    x = jnp.asarray(rng.random((2, 8, 16, 16, 1)).astype("float32"))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 3)
