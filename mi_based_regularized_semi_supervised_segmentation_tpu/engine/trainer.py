@@ -115,7 +115,8 @@ class SemiTrainer:
         ]
         self._model = UNet(input_dim=self._input_dim, num_classes=self._num_classes,
                            dtype=dtype, bn_dtype=bn_dtype,
-                           stem=str(arch.get("stem", "conv")))
+                           stem=str(arch.get("stem", "conv")),
+                           remat=bool(arch.get("remat", False)))
 
         trainer_cfg = cfg.get("Trainer", {})
         self._feature_names = list(trainer_cfg.get("feature_names", []))

@@ -60,7 +60,7 @@ class ConvBlock(nn.Module):
     bn_dtype: Any = jnp.float32  # bf16 saves ~23% of U-Net step time; fp32 = parity
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool,
+    def __call__(self, x: jnp.ndarray, train: bool = False,
                  bn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
@@ -81,7 +81,7 @@ class UpConv(nn.Module):
     bn_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool,
+    def __call__(self, x: jnp.ndarray, train: bool = False,
                  bn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
@@ -122,6 +122,9 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     bn_dtype: Any = jnp.float32
     stem: str = "conv"
+    remat: bool = False  # jax.checkpoint each block: ~half the activation
+    # HBM for one extra forward's FLOPs — the standard TPU batch-scaling
+    # lever (identical numerics; test_models.py asserts it)
 
     dimension_dict = UNET_DIMENSIONS
 
@@ -156,23 +159,30 @@ class UNet(nn.Module):
         x = x.astype(self.dtype)
         if self.stem == "s2d":
             x = space_to_depth(x, 2)
-        e1 = ConvBlock(16, self.dtype, self.bn_dtype, name="Conv1")(x, train=train, bn_mask=bn_mask)
-        e2 = ConvBlock(32, self.dtype, self.bn_dtype, name="Conv2")(nn.max_pool(e1, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
-        e3 = ConvBlock(64, self.dtype, self.bn_dtype, name="Conv3")(nn.max_pool(e2, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
-        e4 = ConvBlock(128, self.dtype, self.bn_dtype, name="Conv4")(nn.max_pool(e3, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
-        e5 = ConvBlock(256, self.dtype, self.bn_dtype, name="Conv5")(nn.max_pool(e4, (2, 2), (2, 2)), train=train, bn_mask=bn_mask)
+        ConvBlock_ = ConvBlock
+        UpConv_ = UpConv
+        if self.remat:
+            # static_argnums counts self=0, x=1, train=2; bn_mask (None or
+            # array) stays traced
+            ConvBlock_ = nn.remat(ConvBlock, static_argnums=(2,))
+            UpConv_ = nn.remat(UpConv, static_argnums=(2,))
+        e1 = ConvBlock_(16, self.dtype, self.bn_dtype, name="Conv1")(x, train, bn_mask)
+        e2 = ConvBlock_(32, self.dtype, self.bn_dtype, name="Conv2")(nn.max_pool(e1, (2, 2), (2, 2)), train, bn_mask)
+        e3 = ConvBlock_(64, self.dtype, self.bn_dtype, name="Conv3")(nn.max_pool(e2, (2, 2), (2, 2)), train, bn_mask)
+        e4 = ConvBlock_(128, self.dtype, self.bn_dtype, name="Conv4")(nn.max_pool(e3, (2, 2), (2, 2)), train, bn_mask)
+        e5 = ConvBlock_(256, self.dtype, self.bn_dtype, name="Conv5")(nn.max_pool(e4, (2, 2), (2, 2)), train, bn_mask)
 
-        d5 = UpConv(128, self.dtype, self.bn_dtype, name="Up5")(e5, train=train, bn_mask=bn_mask)
-        d5 = ConvBlock(128, self.dtype, self.bn_dtype, name="Up_conv5")(jnp.concatenate([e4, d5], axis=-1), train=train, bn_mask=bn_mask)
+        d5 = UpConv_(128, self.dtype, self.bn_dtype, name="Up5")(e5, train, bn_mask)
+        d5 = ConvBlock_(128, self.dtype, self.bn_dtype, name="Up_conv5")(jnp.concatenate([e4, d5], axis=-1), train, bn_mask)
 
-        d4 = UpConv(64, self.dtype, self.bn_dtype, name="Up4")(d5, train=train, bn_mask=bn_mask)
-        d4 = ConvBlock(64, self.dtype, self.bn_dtype, name="Up_conv4")(jnp.concatenate([e3, d4], axis=-1), train=train, bn_mask=bn_mask)
+        d4 = UpConv_(64, self.dtype, self.bn_dtype, name="Up4")(d5, train, bn_mask)
+        d4 = ConvBlock_(64, self.dtype, self.bn_dtype, name="Up_conv4")(jnp.concatenate([e3, d4], axis=-1), train, bn_mask)
 
-        d3 = UpConv(32, self.dtype, self.bn_dtype, name="Up3")(d4, train=train, bn_mask=bn_mask)
-        d3 = ConvBlock(32, self.dtype, self.bn_dtype, name="Up_conv3")(jnp.concatenate([e2, d3], axis=-1), train=train, bn_mask=bn_mask)
+        d3 = UpConv_(32, self.dtype, self.bn_dtype, name="Up3")(d4, train, bn_mask)
+        d3 = ConvBlock_(32, self.dtype, self.bn_dtype, name="Up_conv3")(jnp.concatenate([e2, d3], axis=-1), train, bn_mask)
 
-        d2 = UpConv(16, self.dtype, self.bn_dtype, name="Up2")(d3, train=train, bn_mask=bn_mask)
-        d2 = ConvBlock(16, self.dtype, self.bn_dtype, name="Up_conv2")(jnp.concatenate([e1, d2], axis=-1), train=train, bn_mask=bn_mask)
+        d2 = UpConv_(16, self.dtype, self.bn_dtype, name="Up2")(d3, train, bn_mask)
+        d2 = ConvBlock_(16, self.dtype, self.bn_dtype, name="Up_conv2")(jnp.concatenate([e1, d2], axis=-1), train, bn_mask)
 
         head_ch = self.num_classes * (4 if self.stem == "s2d" else 1)
         logits = nn.Conv(head_ch, (1, 1), use_bias=True, dtype=self.dtype,

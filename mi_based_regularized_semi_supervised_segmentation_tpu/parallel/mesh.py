@@ -113,10 +113,23 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh],
         for k, v in batch.items():
             out[k] = jax.device_put(v) if isinstance(v, np.ndarray) else v
         return out
-    sharding = NamedSharding(mesh, P(data_axis or mesh.axis_names[0]))
+    axis = data_axis or mesh.axis_names[0]
+    n_dev = int(mesh.shape[axis])
+    sharding = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1:
-            out[k] = jax.device_put(v, sharding)
+            if v.shape[0] % n_dev != 0:
+                # train batches are pre-padded to a device multiple
+                # (pad-and-mask); this fallback catches variable-size eval
+                # batches on the host path — replicate rather than throw,
+                # and say so.
+                print(f"WARNING: '{k}' batch dim {v.shape[0]} does not "
+                      f"divide the {n_dev}-device '{axis}' axis — "
+                      f"replicating this array.", flush=True)
+                out[k] = jax.device_put(v, replicated)
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out

@@ -27,13 +27,14 @@ SEEDS = (10, 20, 30)
 MODES = ("partial", "uda", "iic", "udaiic", "fs")
 
 
-def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int):
+def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
+                 stem: str = "conv"):
     labeled_ratio = 1.0 if mode == "fs" else 0.05
     unlabeled_ratio = 0.0 if mode == "fs" else 0.95
     trainer_name = "partial" if mode == "fs" else mode
     return {
         "RandomSeed": seed,
-        "Arch": {"input_dim": 1, "num_classes": 4},
+        "Arch": {"input_dim": 1, "num_classes": 4, "stem": stem},
         "Optim": {"name": "Adam", "lr": 1e-7, "weight_decay": 1e-5},
         "Scheduler": {"name": "GradualWarmupScheduler", "multiplier": 400,
                       "warmup_max": 10},
@@ -71,6 +72,9 @@ def main():
     ap.add_argument("--fixture", choices=["v1", "v2"], default="v1",
                     help="v2: cross-scale class-diagnostic texture so the "
                          "local-MI term has real signal (VERDICT r2 item 5)")
+    ap.add_argument("--stem", choices=["conv", "s2d"], default="conv",
+                    help="s2d: experimental space-to-depth stem "
+                         "(capability spot-check for the conv-floor lever)")
     args = ap.parse_args()
 
     epochs = args.epochs or (2 if args.quick else 50)
@@ -116,7 +120,8 @@ def main():
                 print(f"[study] skip {mode} seed {seed} (done)", flush=True)
                 continue
             set_seed(seed)
-            cfg = build_config(mode, seed, f"study/{mode}_s{seed}", epochs, batches)
+            cfg = build_config(mode, seed, f"study/{mode}_s{seed}", epochs, batches,
+                               stem=args.stem)
             labeled, unlabeled, test = get_dataloaders(cfg, data_root=data_root)
             val = create_val_loader(unlabeled, test)
             Trainer = trainer_zoos[cfg["Trainer"]["name"]]

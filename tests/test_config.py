@@ -9,7 +9,8 @@ from mi_based_regularized_semi_supervised_segmentation_tpu.config import (
 def test_default_config_loads():
     cm = ConfigManager(argv=[])
     cfg = cm.config
-    assert cfg["Arch"] == {"input_dim": 1, "num_classes": 4}
+    assert cfg["Arch"] == {"input_dim": 1, "num_classes": 4,
+                           "stem": "conv", "remat": False}
     assert cfg["Optim"]["lr"] == 1e-7
     assert cfg["Trainer"]["feature_names"] == ["Conv5", "Up_conv3", "Up_conv2"]
     assert cfg["IICRegParameters"]["LossParams"]["paddings"] == [1, 3]

@@ -154,3 +154,30 @@ def test_unet_s2d_stem_shapes(rng):
     assert feats["Conv1"].shape == (2, 16, 16, 16)   # halved grid
     assert feats["Conv5"].shape == (2, 1, 1, 256)
     assert feats["Up_conv2"].shape == (2, 16, 16, 16)
+
+
+def test_unet_remat_identical_numerics(rng):
+    """remat=True is a pure memory/recompute trade: forward and gradients
+    bit-match the non-remat model."""
+    import jax
+    import jax.numpy as jnp
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models.unet import UNet
+
+    x = jnp.asarray(rng.random((2, 32, 32, 1)).astype("float32"))
+    tgt = jnp.asarray(rng.random((2, 32, 32, 4)).astype("float32"))
+    base = UNet(input_dim=1, num_classes=4)
+    rem = UNet(input_dim=1, num_classes=4, remat=True)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(model, params):
+        out, _ = model.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]},
+                             x, train=True, mutable=["batch_stats"])
+        return jnp.mean((out - tgt) ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(base, p))(variables["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(rem, p))(variables["params"])
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
