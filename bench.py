@@ -190,6 +190,13 @@ def bench_e2e(dtype_name: str) -> float:
 
 
 def main() -> None:
+    import jax
+
+    # persistent executable cache: repeat bench runs skip the (remote)
+    # compiles entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     if os.environ.get("BENCH_E2E"):  # legacy single-number mode
         v = bench_e2e(dtype_name)
