@@ -111,3 +111,30 @@ def test_udaiic_trainer_device_data_scan(setup, tmp_path):
     assert "tra_mi_mean" in df.columns
     assert "tra_uda_mean" in df.columns
     assert np.isfinite(df["tra_mi_mean"].iloc[0])
+
+
+def test_trainer_padded_mesh_full_loop(setup, tmp_path):
+    """Trainer-level pad-and-mask: the flagship-SHAPED indivisible batch
+    (3 labeled + 5 unlabeled on an 8-device mesh) pads to 8+8, runs the
+    device-data chunked scan actually partitioned, and completes an epoch
+    with finite metrics + artifacts."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.parallel import (
+        make_mesh,
+    )
+
+    root, loaders = setup
+    cfg = _config("uda", tmp_path)
+    cfg["LabeledData"] = {"batch_size": 3}
+    cfg["UnlabeledData"] = {"batch_size": 5}
+    cfg["Trainer"].update(device_data=True, epoch_scan=True, scan_chunk=1,
+                          progress=False)
+    Trainer = trainer_zoos["uda"]
+    t = Trainer(configuration=cfg, save_dir="t_padded", max_epoch=1,
+                num_batches=2, crop_size=CROP, run_dir=str(tmp_path),
+                mesh=make_mesh(8), **loaders)
+    t.init()
+    assert t._batch_padded
+    assert (t._lab_bs_padded, t._unlab_bs_padded) == (8, 8)
+    best = t.start_training()
+    assert np.isfinite(best) and 0 <= best <= 1
+    assert (tmp_path / "t_padded" / "storage.csv").exists()
