@@ -89,6 +89,10 @@ def _build(dtype_name: str, data_store=None, jit=True):
         projector=projector, uda_criterion="mse", uda_weight=10.0,
         iic_weight=0.1, reg_weight=1.0, paddings=[1, 3], patch_sizes=1024,
         backend=backend, data_store=data_store, crop=CROP, jit=jit,
+        # BENCH_GEOMETRY=shear: Pallas 3-shear rotation instead of the
+        # composed single gather (ops/augment_device; only affects the
+        # device-data e2e path).
+        geometry=os.environ.get("BENCH_GEOMETRY", "fused"),
     )
     return state, step
 
@@ -166,7 +170,9 @@ def bench_e2e(dtype_name: str) -> float:
     if pipelined:  # production path: augmentation overlaps the previous step
         state, raw = _build(dtype_name, data_store=None, jit=False)
         epoch_fn = build_epoch_scan_pipelined(
-            build_augment_fn(stores, crop=CROP), raw, steps)
+            build_augment_fn(stores, crop=CROP,
+                             geometry=os.environ.get("BENCH_GEOMETRY", "fused")),
+            raw, steps)
     else:
         state, raw = _build(dtype_name, data_store=stores, jit=False)
         epoch_fn = build_epoch_scan(raw, steps)

@@ -194,6 +194,7 @@ def build_train_step(
     backend: str = "auto",
     data_store=None,
     crop: int = 224,
+    geometry: str = "fused",
     ema_alpha: float = 0.999,
     ema_weight_decay: float = 1e-6,
     n_labeled_valid: Optional[int] = None,
@@ -255,6 +256,7 @@ def build_train_step(
                 crop=crop,
                 valid_hw=lab_store.valid_hw_dev[lab_idx],
                 offsets=lab_store.offsets_dev[lab_idx],
+                geometry=geometry,
             )
             unlabeled_image, _ = augment_pair_batch(
                 aug_u,
@@ -263,6 +265,7 @@ def build_train_step(
                 crop=crop,
                 valid_hw=unlab_store.valid_hw_dev[unlab_idx],
                 offsets=unlab_store.offsets_dev[unlab_idx],
+                geometry=geometry,
             )
         else:
             labeled_image = batch["labeled_image"]
@@ -462,7 +465,7 @@ def build_epoch_scan(step_fn, num_batches: int, jit: bool = True):
     return epoch
 
 
-def build_augment_fn(data_store, crop: int = 224):
+def build_augment_fn(data_store, crop: int = 224, geometry: str = "fused"):
     """Standalone device augmentation: aug(base_key, i, idx_batch) ->
     {"labeled_image", "labeled_target", "unlabeled_image"} tensors.
 
@@ -484,12 +487,12 @@ def build_augment_fn(data_store, crop: int = 224):
         labeled_image, labeled_target = augment_pair_batch(
             k_l, lab_store.images[lab_idx], lab_store.labels[lab_idx],
             crop=crop, valid_hw=lab_store.valid_hw_dev[lab_idx],
-            offsets=lab_store.offsets_dev[lab_idx],
+            offsets=lab_store.offsets_dev[lab_idx], geometry=geometry,
         )
         unlabeled_image, _ = augment_pair_batch(
             k_u, unlab_store.images[unlab_idx], None, crop=crop,
             valid_hw=unlab_store.valid_hw_dev[unlab_idx],
-            offsets=unlab_store.offsets_dev[unlab_idx],
+            offsets=unlab_store.offsets_dev[unlab_idx], geometry=geometry,
         )
         return {"labeled_image": labeled_image,
                 "labeled_target": labeled_target,

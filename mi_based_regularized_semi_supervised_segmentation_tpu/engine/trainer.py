@@ -190,9 +190,13 @@ class SemiTrainer:
         self._batch_padded = (self._lab_bs_padded != lab_bs
                               or self._unlab_bs_padded != unlab_bs)
 
-        backend = cfg.get("Kernel", {}).get("backend", "auto") if cfg.get("Kernel") else "auto"
+        kernel_cfg = cfg.get("Kernel") or {}
+        backend = kernel_cfg.get("backend", "auto")
         if backend == "pallas_fused":  # fused selection lives on the projector
             backend = "pallas"
+        # Kernel.geometry: fused (default) | sequential | shear — see
+        # ops/augment_device.augment_pair_batch.
+        geometry = kernel_cfg.get("geometry", "fused")
         self._train_step = build_train_step(
             self._model,
             self._tx,
@@ -204,6 +208,7 @@ class SemiTrainer:
             backend=backend,
             data_store=self._data_stores,
             crop=self._crop_size,
+            geometry=geometry,
             n_labeled_valid=lab_bs if self._batch_padded else None,
             n_unlabeled_valid=unlab_bs if self._batch_padded else None,
             **self._step_kwargs,
@@ -242,6 +247,7 @@ class SemiTrainer:
                 backend=backend,
                 data_store=None if self._pipelined else self._data_stores,
                 crop=self._crop_size,
+                geometry=geometry,
                 n_labeled_valid=lab_bs if self._batch_padded else None,
                 n_unlabeled_valid=unlab_bs if self._batch_padded else None,
                 jit=False,
@@ -254,7 +260,8 @@ class SemiTrainer:
             # (state chains through chunks).
             self._scan_chunk = max(int(trainer_cfg.get("scan_chunk", 100)), 1)
             chunks = self._chunk_sizes(self._num_batches, self._scan_chunk)
-            aug_fn = (build_augment_fn(self._data_stores, crop=self._crop_size)
+            aug_fn = (build_augment_fn(self._data_stores, crop=self._crop_size,
+                                       geometry=geometry)
                       if self._pipelined else None)
 
             def make_epoch_fn(size: int):

@@ -94,7 +94,7 @@ def augment_pair_batch(
     flips: bool = True,
     valid_hw: Optional[jnp.ndarray] = None,   # [B, 2] valid (h, w) per slice
     offsets: Optional[jnp.ndarray] = None,    # [B, 2] canvas (top, left)
-    fused_geometry: bool = True,
+    geometry: str = "fused",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full reference-pretrain augmentation, synchronized image/label.
     Returns (image [B, crop, crop, 1] float32 in [0,~1.5], label [B, crop, crop]).
@@ -103,16 +103,25 @@ def augment_pair_batch(
     slice's valid window on the padded canvas — reference RandomCrop
     semantics over mixed-size slices.
 
-    fused_geometry (default): rotate ∘ flip ∘ crop compose into ONE gather
-    that produces the crop²-sized output directly — bit-identical to the
-    sequential path (the only rounding, rint of the rotated source, is the
-    same) but gathers crop²/canvas² of the elements and skips the separate
-    flip and crop passes. Gathers dominate the augmentation on TPU
-    (~13 cycles/element, serialized on the core): every roll/shear-based
-    rotation alternative measured SLOWER than the single 2-D gather
-    (3-shear via 27 static rolls+selects: 32 ms; per-row dynamic slices:
-    27 ms; one lane-axis take_along_axis shear alone: 16 ms — the cost of
-    this whole gather), so shrinking the one gather is the lever."""
+    geometry selects how rotate/flip/crop execute:
+    - "fused" (default): rotate ∘ flip ∘ crop compose into ONE gather
+      that produces the crop²-sized output directly — bit-identical to the
+      sequential path (the only rounding, rint of the rotated source, is
+      the same) but gathers crop²/canvas² of the elements and skips the
+      separate flip and crop passes. Gathers dominate the augmentation on
+      TPU (~13 cycles/element, serialized on the core): every XLA
+      roll/shear-based rotation alternative measured SLOWER than the
+      single 2-D gather (3-shear via 27 static rolls+selects: 32 ms;
+      per-row dynamic slices: 27 ms; one lane-axis take_along_axis shear
+      alone: 16 ms — the cost of this whole gather).
+    - "sequential": separate rotate-gather, flip and crop passes (the
+      reference op order, parity anchor for tests).
+    - "shear": rotation via the in-VMEM Pallas 3-shear roll kernel
+      (ops/pallas/rotate.rotate_shear_pallas_lanes) followed by cheap
+      flip selects + dynamic-slice crops. A pixel PERMUTATION — exact for
+      labels, distributionally equivalent but not bit-identical to
+      nearest rotation (sub-pixel choices differ); opt-in
+      (Kernel.geometry=shear) pending TPU compile validation."""
     B, H, W = images.shape
     k_rot, k_v, k_h, k_y, k_x, k_b, k_c = jax.random.split(key, 7)
     img = images.astype(jnp.float32)
@@ -138,7 +147,7 @@ def augment_pair_batch(
         ys = jax.random.randint(k_y, (B,), 0, max(H - crop, 0) + 1)
         xs = jax.random.randint(k_x, (B,), 0, max(W - crop, 0) + 1)
 
-    if fused_geometry:
+    if geometry == "fused":
         # composed source coords for the crop output: crop -> flip -> rotate
         ii = jnp.arange(crop, dtype=jnp.float32)[None, :, None]  # out row
         jj = jnp.arange(crop, dtype=jnp.float32)[None, None, :]  # out col
@@ -168,7 +177,23 @@ def augment_pair_batch(
         img = jax.vmap(gather_one)(img, syc, sxc, ok)
         if lab is not None:
             lab = jax.vmap(gather_one)(lab, syc, sxc, ok)
-    else:
+    elif geometry == "shear":
+        from .pallas.rotate import rotate_shear_pallas_lanes
+
+        if angles is not None:
+            img = rotate_shear_pallas_lanes(img, angles, max_angle=rotation)
+            if lab is not None:
+                lab = rotate_shear_pallas_lanes(
+                    lab.astype(jnp.float32), angles, max_angle=rotation
+                ).astype(jnp.int32)
+        if flips:
+            img = flip_batch(img, v, h)
+            if lab is not None:
+                lab = flip_batch(lab, v, h)
+        img = crop_batch(img, ys, xs, crop)
+        if lab is not None:
+            lab = crop_batch(lab, ys, xs, crop)
+    elif geometry == "sequential":
         if angles is not None:
             img = rotate_nearest_batch(img, angles)
             if lab is not None:
@@ -180,6 +205,8 @@ def augment_pair_batch(
         img = crop_batch(img, ys, xs, crop)
         if lab is not None:
             lab = crop_batch(lab, ys, xs, crop)
+    else:
+        raise ValueError(f"unknown geometry {geometry!r}")
     if jitter is not None:
         lo, hi = jitter
         brightness = jax.random.uniform(k_b, (B, 1, 1), minval=lo, maxval=hi)

@@ -28,7 +28,7 @@ MODES = ("partial", "uda", "iic", "udaiic", "fs")
 
 
 def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
-                 stem: str = "conv"):
+                 stem: str = "conv", geometry: str = "fused"):
     labeled_ratio = 1.0 if mode == "fs" else 0.05
     unlabeled_ratio = 0.0 if mode == "fs" else 0.95
     trainer_name = "partial" if mode == "fs" else mode
@@ -49,6 +49,7 @@ def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
                     "feature_names": ["Conv5", "Up_conv3", "Up_conv2"],
                     "feature_importance": [1.0, 0.5, 0.5]},
         "Precision": {"compute_dtype": "bfloat16", "bn_dtype": "bfloat16"},
+        "Kernel": {"geometry": geometry},
         "UDARegCriterion": {"name": "mse", "weight": 10.0},
         "IICRegParameters": {
             "EncoderParams": {"num_clusters": 20, "num_subheads": 5,
@@ -75,6 +76,10 @@ def main():
     ap.add_argument("--stem", choices=["conv", "s2d"], default="conv",
                     help="s2d: experimental space-to-depth stem "
                          "(capability spot-check for the conv-floor lever)")
+    ap.add_argument("--geometry", choices=["fused", "sequential", "shear"],
+                    default="fused",
+                    help="shear: Pallas 3-shear roll rotation "
+                         "(capability spot-check for the rotation lever)")
     args = ap.parse_args()
 
     epochs = args.epochs or (2 if args.quick else 50)
@@ -121,7 +126,7 @@ def main():
                 continue
             set_seed(seed)
             cfg = build_config(mode, seed, f"study/{mode}_s{seed}", epochs, batches,
-                               stem=args.stem)
+                               stem=args.stem, geometry=args.geometry)
             labeled, unlabeled, test = get_dataloaders(cfg, data_root=data_root)
             val = create_val_loader(unlabeled, test)
             Trainer = trainer_zoos[cfg["Trainer"]["name"]]

@@ -172,8 +172,35 @@ def test_fused_geometry_matches_sequential(rng):
     kwargs = dict(crop=crop, valid_hw=jnp.asarray(valid_hw),
                   offsets=jnp.asarray(offsets))
     img_f, lab_f = augment_pair_batch(key, jnp.asarray(imgs), jnp.asarray(labs),
-                                      fused_geometry=True, **kwargs)
+                                      geometry="fused", **kwargs)
     img_s, lab_s = augment_pair_batch(key, jnp.asarray(imgs), jnp.asarray(labs),
-                                      fused_geometry=False, **kwargs)
+                                      geometry="sequential", **kwargs)
     np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_s))
     np.testing.assert_array_equal(np.asarray(lab_f), np.asarray(lab_s))
+
+
+def test_shear_geometry_close_to_sequential(rng):
+    """geometry="shear" (Pallas 3-shear rotation, interpret mode on CPU):
+    same shapes/dtypes, labels stay integral in-range, and the result is
+    pixelwise close to the exact-rotation sequential path (the shear
+    permutation differs only in sub-pixel resampling choices)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W, crop = 2, 64, 64, 48
+    yy, xx = np.mgrid[0:H, 0:W]
+    imgs = (((yy // 8) + (xx // 8)) % 2 * 200 + 20).astype(np.uint8)
+    imgs = np.tile(imgs[None], (B, 1, 1))
+    labs = (yy[None] // 16 % 4).astype(np.uint8).repeat(B, axis=0)
+    key = jax.random.PRNGKey(3)
+    kwargs = dict(crop=crop, jitter=None)
+    img_p, lab_p = augment_pair_batch(key, jnp.asarray(imgs), jnp.asarray(labs),
+                                      geometry="shear", **kwargs)
+    img_s, lab_s = augment_pair_batch(key, jnp.asarray(imgs), jnp.asarray(labs),
+                                      geometry="sequential", **kwargs)
+    assert img_p.shape == img_s.shape and lab_p.shape == lab_s.shape
+    lab_np = np.asarray(lab_p)
+    assert lab_np.dtype == np.int32
+    assert set(np.unique(lab_np)) <= set(range(4))
+    agree = np.mean(np.asarray(img_p) == np.asarray(img_s))
+    assert agree > 0.9, agree

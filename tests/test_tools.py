@@ -142,3 +142,32 @@ def test_viewer_mosaic_and_folder(tmp_path):
     assert set(groups) == {"patient001_01", "patient002_01"}
     outs = render_folder(str(img_dir), [str(gt_dir)], out_dir=str(tmp_path / "v"))
     assert len(outs) == 2 and all(Path(p).exists() for p in outs)
+
+
+def test_perf_table_generator(tmp_path):
+    """scripts/perf_table.py renders the bench record (pretty-printed
+    artifact wrapper and raw-JSON-line forms) as the README metrics table."""
+    import json
+
+    wrapped = {"parsed": {
+        "metric": "slices_per_sec_per_chip", "value": 300.0, "unit": "slices/s",
+        "vs_baseline": 4.41, "baseline": {"value": 68.0, "estimated": True},
+        "e2e": {"value": 290.0, "vs_baseline": 4.26},
+        "fp32": {"value": 200.0, "vs_baseline": 2.94}}}
+    art = tmp_path / "BENCH_rXX.json"
+    art.write_text(json.dumps(wrapped, indent=2))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "perf_table.py"),
+         "--bench", str(art)],
+        capture_output=True, text=True, check=True).stdout
+    assert "| bare udaiic step, bf16 (headline) | **300.0** | **4.41x** |" in out
+    assert "| end-to-end training pipeline | 290.0 | 4.26x |" in out
+    assert "estimated" in out
+
+    log = tmp_path / "bench.log"
+    log.write_text("warning: noise\n" + json.dumps(wrapped["parsed"]) + "\n")
+    out2 = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "perf_table.py"),
+         "--bench", str(log)],
+        capture_output=True, text=True, check=True).stdout
+    assert "**300.0**" in out2
