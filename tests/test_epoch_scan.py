@@ -87,3 +87,16 @@ def test_eval_scan_matches_stepwise(tmp_path):
                                  jnp.asarray(indices[i]), jnp.asarray(masks[i])))
         assert np.isclose(out_scan["loss"][i], out["loss"], rtol=1e-5)
         np.testing.assert_allclose(out_scan["inter"][i], out["inter"][0], rtol=1e-5)
+
+
+def test_train_step_shear_geometry(tmp_path, rng):
+    """Kernel.geometry=shear: the Pallas lane-roll rotation runs inside the
+    jitted train step (interpret mode on CPU) and produces finite losses."""
+    store, model, tx, state, kwargs = _setup(tmp_path)
+    step = build_train_step(model, tx, "partial", geometry="shear", **kwargs)
+    state, m = step(state, {
+        "labeled_indices": jnp.asarray(rng.integers(0, len(store), 2).astype(np.int32)),
+        "unlabeled_indices": jnp.asarray(rng.integers(0, len(store), 3).astype(np.int32)),
+    })
+    assert np.isfinite(float(m["sup_loss"]))
+    assert int(state.step) == 1
