@@ -847,10 +847,12 @@ class IICTrainer(SemiTrainer):
         patches = loss_cfg.get("patch_sizes", 1024)
         min_patch = min(patches) if isinstance(patches, (list, tuple)) else patches
         # Kernel.backend=pallas_fused opts into the softmax-in-kernel path
-        # (ops/pallas/mi_fused). Measured on v5e it LOSES to the default
-        # (pallas joint + XLA softmax with per-half einsum heads): the
-        # in-kernel softmax serializes with the MXU dots — kept as an option,
-        # not the default.
+        # (ops/pallas/mi_fused). SETTLED (round 3): even with the VMEM band
+        # cache (each sliding-window softmax half computed once, carried
+        # across grid steps) it loses to the default on v5e — 334.7 vs
+        # 353.6 slices/s at the headline shape; the in-kernel VPU softmax
+        # serializes with the MXU dots no matter how little of it runs.
+        # Kept strictly as a tested opt-in experiment, never auto-selected.
         # fused (softmax-in-kernel) path carries logits, which pad-and-mask
         # batch sharding can't row-mask — disable it when the batch needs
         # padding to divide the mesh data axis.
