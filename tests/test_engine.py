@@ -286,3 +286,40 @@ def test_meanteacher_dedicated_teacher_batch_stats(rng):
     # ...and differ from the student's (student saw the mixed 3-part batch,
     # teacher only the plain unlabeled view)
     assert any(not np.allclose(a, b) for a, b in zip(s1, t1))
+
+
+def test_udaiic_step_s2d_stem(rng):
+    """Arch.stem=s2d (experimental throughput variant, models/unet.py:111-118)
+    runs the full udaiic train step: taps land on the halved grid, the MI
+    regularization and dice stats keep their shapes, params update."""
+    num_classes, crop = 3, 32
+    model = UNet(input_dim=1, num_classes=num_classes, stem="s2d")
+    projector = ProjectorWrapper(
+        feature_names=FEATURES, num_clusters=5, num_subheads=2,
+        head_types="linear", normalize=False,
+    )
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(
+        model, tx, (1, crop, crop, 1), seed=0,
+        projector=projector, projector_feature_names=FEATURES,
+    )
+    step = build_train_step(
+        model, tx, "udaiic", num_classes=num_classes,
+        feature_names=FEATURES, feature_importance=[1.0, 0.5, 0.5],
+        projector=projector, backend="xla",
+        uda_criterion="mse", uda_weight=10.0, iic_weight=0.1,
+        reg_weight=1.0, paddings=[1, 1], patch_sizes=1024,
+    )
+    batch = _batch(rng, crop=crop, num_classes=num_classes)
+    params_before = jax.device_get(state.params)
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    for k in ("sup_loss", "total_loss", "uda", "mi"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["reg_loss"]) != 0.0
+    assert metrics["sup_dice_inter"].shape == (2, num_classes)
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, b), params_before,
+        jax.device_get(state2.params),
+    )
+    assert any(jax.tree_util.tree_leaves(changed))
