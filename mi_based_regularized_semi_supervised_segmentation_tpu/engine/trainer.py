@@ -195,8 +195,19 @@ class SemiTrainer:
         if backend == "pallas_fused":  # fused selection lives on the projector
             backend = "pallas"
         # Kernel.geometry: fused (default) | sequential | shear — see
-        # ops/augment_device.augment_pair_batch.
+        # ops/augment_device.augment_pair_batch. Only the device-data path
+        # augments on device; validate eagerly (the ValueError inside
+        # augment_pair_batch is only reached at trace time) and warn loudly
+        # when the setting cannot take effect instead of silently ignoring it.
         geometry = kernel_cfg.get("geometry", "fused")
+        if geometry not in ("fused", "sequential", "shear"):
+            raise ValueError(
+                f"Kernel.geometry={geometry!r}: expected one of "
+                "'fused' | 'sequential' | 'shear'")
+        if geometry != "fused" and not self._device_data:
+            print(f"[trainer] WARNING: Kernel.geometry={geometry!r} only "
+                  "applies to on-device augmentation (Trainer.device_data: "
+                  "true); the host data path ignores it.", flush=True)
         self._train_step = build_train_step(
             self._model,
             self._tx,

@@ -177,27 +177,25 @@ def augment_pair_batch(
         img = jax.vmap(gather_one)(img, syc, sxc, ok)
         if lab is not None:
             lab = jax.vmap(gather_one)(lab, syc, sxc, ok)
-    elif geometry == "shear":
-        from .pallas.rotate import rotate_shear_pallas_lanes
+    elif geometry in ("shear", "sequential"):
+        # same flip+crop pipeline; only the rotation op differs
+        if geometry == "shear":
+            from .pallas.rotate import rotate_shear_pallas_lanes
+
+            def rotate(x):
+                if x.dtype == jnp.int32:  # labels: exact permutation via f32
+                    return rotate_shear_pallas_lanes(
+                        x.astype(jnp.float32), angles, max_angle=rotation
+                    ).astype(jnp.int32)
+                return rotate_shear_pallas_lanes(x, angles, max_angle=rotation)
+        else:
+            def rotate(x):
+                return rotate_nearest_batch(x, angles)
 
         if angles is not None:
-            img = rotate_shear_pallas_lanes(img, angles, max_angle=rotation)
+            img = rotate(img)
             if lab is not None:
-                lab = rotate_shear_pallas_lanes(
-                    lab.astype(jnp.float32), angles, max_angle=rotation
-                ).astype(jnp.int32)
-        if flips:
-            img = flip_batch(img, v, h)
-            if lab is not None:
-                lab = flip_batch(lab, v, h)
-        img = crop_batch(img, ys, xs, crop)
-        if lab is not None:
-            lab = crop_batch(lab, ys, xs, crop)
-    elif geometry == "sequential":
-        if angles is not None:
-            img = rotate_nearest_batch(img, angles)
-            if lab is not None:
-                lab = rotate_nearest_batch(lab, angles)
+                lab = rotate(lab)
         if flips:
             img = flip_batch(img, v, h)
             if lab is not None:

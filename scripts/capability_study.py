@@ -104,11 +104,26 @@ def main():
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     results_path = out_dir / "results.jsonl"
+    # Resume key includes the variant axes (fixture/stem/geometry) so a
+    # re-run with a different variant against the same --out re-runs
+    # instead of silently skipping and re-summarizing the old rows. Rows
+    # written before these fields existed default to the CURRENT
+    # invocation's values (out dirs are per-variant by convention), so
+    # resuming an in-flight directory keeps working.
+    variant = {"fixture": args.fixture, "stem": args.stem,
+               "geometry": args.geometry}
+
+    def run_key(r):
+        return (r["mode"], r["seed"],
+                r.get("fixture", variant["fixture"]),
+                r.get("stem", variant["stem"]),
+                r.get("geometry", variant["geometry"]))
+
     done = set()
     if results_path.exists():
         for line in results_path.read_text().splitlines():
             r = json.loads(line)
-            done.add((r["mode"], r["seed"]))
+            done.add(run_key(r))
 
     # HARD fixture: 40 train patients (5% labels = 2 patients), noisy
     # low-contrast phantoms — partial supervision underfits here.
@@ -121,7 +136,7 @@ def main():
     modes = tuple(args.modes) if args.modes else MODES
     for mode in modes:
         for seed in seeds:
-            if (mode, seed) in done:
+            if (mode, seed, args.fixture, args.stem, args.geometry) in done:
                 print(f"[study] skip {mode} seed {seed} (done)", flush=True)
                 continue
             set_seed(seed)
@@ -145,16 +160,20 @@ def main():
                   flush=True)
             best = trainer.start_training()
             row = {"mode": mode, "seed": seed, "best_val_dsc": float(best),
-                   "epochs": epochs, "batches": batches}
+                   "epochs": epochs, "batches": batches, **variant}
             with open(results_path, "a") as f:
                 f.write(json.dumps(row) + "\n")
             print(f"[study] DONE {mode} seed {seed}: best val DSC {best:.4f}",
                   flush=True)
 
-    # summary table
+    # summary table — dedup by full run key (last row wins) so appended
+    # re-runs or merged files never double-count a (mode, seed)
     rows = [json.loads(l) for l in results_path.read_text().splitlines()]
-    by_mode = {}
+    by_key = {}
     for r in rows:
+        by_key[run_key(r)] = r
+    by_mode = {}
+    for r in by_key.values():
         by_mode.setdefault(r["mode"], []).append(r["best_val_dsc"])
     lines = ["| mode | seeds | best val DSC (mean ± range) |",
              "|---|---|---|"]

@@ -1,12 +1,15 @@
 """Offline tooling: curve plotter + report aggregator (parity with the
 reference's csv drawers / report2 aggregation, WHEEL::deepclustering2)."""
 
+import json
+import os
 import subprocess
 import numpy as np
 import sys
 from pathlib import Path
 
 import pandas as pd
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -171,3 +174,38 @@ def test_perf_table_generator(tmp_path):
          "--bench", str(log)],
         capture_output=True, text=True, check=True).stdout
     assert "**300.0**" in out2
+
+
+@pytest.mark.slow
+def test_capability_study_variant_resume(tmp_path):
+    """Resume keys include the variant axes: a re-run with the same
+    (mode, seed, fixture, stem, geometry) skips; changing the variant
+    against the same --out re-runs instead of silently skipping, and every
+    row records its variant (round-3 review finding)."""
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "STUDY_DATA": str(tmp_path / "data"),
+    }
+    base = [sys.executable, str(REPO / "scripts" / "capability_study.py"),
+            "--out", str(tmp_path / "out"), "--quick",
+            "--modes", "partial", "--seeds", "10"]
+
+    first = subprocess.run(base, capture_output=True, text=True, env=env,
+                           check=True, timeout=900).stdout
+    assert "DONE partial seed 10" in first
+
+    again = subprocess.run(base, capture_output=True, text=True, env=env,
+                           check=True, timeout=900).stdout
+    assert "skip partial seed 10 (done)" in again
+    assert "DONE" not in again
+
+    variant = subprocess.run(base + ["--geometry", "sequential"],
+                             capture_output=True, text=True, env=env,
+                             check=True, timeout=900).stdout
+    assert "DONE partial seed 10" in variant
+
+    rows = [json.loads(l) for l in
+            (tmp_path / "out" / "results.jsonl").read_text().splitlines()]
+    assert [r["geometry"] for r in rows] == ["fused", "sequential"]
+    assert all(r["fixture"] == "v1" and r["stem"] == "conv" for r in rows)
