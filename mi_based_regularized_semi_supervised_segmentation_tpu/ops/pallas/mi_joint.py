@@ -37,19 +37,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 DEFAULT_BAND = 1536
-MAX_BAND = 4096
+# Largest band whose BACKWARD kernel fits the 16 MB scoped-VMEM stack:
+# double-buffered [band, cp] src/src_next/out blocks + 4 f32 accumulators
+# + the [D, cp, cp] f32 cotangent. A 2832-row divisor band (chosen for the
+# s2d half-grid feature geometry, B=10/118x120/p=3) OOMed the Mosaic
+# scoped allocation at 17.37 MB on v5e; 2048 fits with margin. Bands are
+# only allowed past this cap when max_off forces it (very wide rows).
+MAX_BAND = 2048
 
 
 def _choose_band(n_rows: int, max_off: int) -> int:
-    """Largest band (multiple of 8, > max_off, <= MAX_BAND) dividing n_rows —
-    a divisor means zero row-padding copies for the unshifted operand."""
+    """Largest band (multiple of 8, > max_off, <= cap) dividing n_rows —
+    a divisor means zero row-padding copies for the unshifted operand. The
+    cap is MAX_BAND (scoped-VMEM budget, see above) unless the displacement
+    reach max_off itself exceeds it."""
+    floor = _round_up(max_off + 1, 8)
+    cap = max(MAX_BAND, floor)
     best = 0
-    b = 8
-    while b <= MAX_BAND:
-        if b > max_off and n_rows % b == 0:
+    b = floor
+    while b <= cap:
+        if n_rows % b == 0:
             best = b
         b += 8
-    return best or DEFAULT_BAND
+    return best or max(DEFAULT_BAND, floor)
 
 
 def _interpret() -> bool:
