@@ -28,7 +28,8 @@ MODES = ("partial", "uda", "iic", "udaiic", "fs")
 
 
 def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
-                 stem: str = "conv", geometry: str = "fused"):
+                 stem: str = "conv", geometry: str = "fused",
+                 precision: str = "bfloat16"):
     labeled_ratio = 1.0 if mode == "fs" else 0.05
     unlabeled_ratio = 0.0 if mode == "fs" else 0.95
     trainer_name = "partial" if mode == "fs" else mode
@@ -48,7 +49,7 @@ def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
                     "epoch_scan": True, "progress": False,
                     "feature_names": ["Conv5", "Up_conv3", "Up_conv2"],
                     "feature_importance": [1.0, 0.5, 0.5]},
-        "Precision": {"compute_dtype": "bfloat16", "bn_dtype": "bfloat16"},
+        "Precision": {"compute_dtype": precision, "bn_dtype": precision},
         "Kernel": {"geometry": geometry},
         "UDARegCriterion": {"name": "mse", "weight": 10.0},
         "IICRegParameters": {
@@ -80,6 +81,10 @@ def main():
                     default="fused",
                     help="shear: Pallas 3-shear roll rotation "
                          "(capability spot-check for the rotation lever)")
+    ap.add_argument("--precision", choices=["bfloat16", "float32"],
+                    default="bfloat16",
+                    help="float32: fp32-parity capability spot-check "
+                         "(VERDICT r3 weak item 4)")
     args = ap.parse_args()
 
     epochs = args.epochs or (2 if args.quick else 50)
@@ -111,13 +116,16 @@ def main():
     # invocation's values (out dirs are per-variant by convention), so
     # resuming an in-flight directory keeps working.
     variant = {"fixture": args.fixture, "stem": args.stem,
-               "geometry": args.geometry}
+               "geometry": args.geometry, "precision": args.precision}
 
     def run_key(r):
         return (r["mode"], r["seed"],
                 r.get("fixture", variant["fixture"]),
                 r.get("stem", variant["stem"]),
-                r.get("geometry", variant["geometry"]))
+                r.get("geometry", variant["geometry"]),
+                # every row written before this field existed was bfloat16,
+                # so the missing-field default is factual, not invocation-tied
+                r.get("precision", "bfloat16"))
 
     done = set()
     if results_path.exists():
@@ -136,12 +144,14 @@ def main():
     modes = tuple(args.modes) if args.modes else MODES
     for mode in modes:
         for seed in seeds:
-            if (mode, seed, args.fixture, args.stem, args.geometry) in done:
+            if (mode, seed, args.fixture, args.stem, args.geometry,
+                    args.precision) in done:
                 print(f"[study] skip {mode} seed {seed} (done)", flush=True)
                 continue
             set_seed(seed)
             cfg = build_config(mode, seed, f"study/{mode}_s{seed}", epochs, batches,
-                               stem=args.stem, geometry=args.geometry)
+                               stem=args.stem, geometry=args.geometry,
+                               precision=args.precision)
             labeled, unlabeled, test = get_dataloaders(cfg, data_root=data_root)
             val = create_val_loader(unlabeled, test)
             Trainer = trainer_zoos[cfg["Trainer"]["name"]]
