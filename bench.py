@@ -43,6 +43,13 @@ BASELINE_ESTIMATED = "BENCH_BASELINE_SLICES_PER_SEC" not in os.environ
 N_LAB, N_UNLAB, CROP, NUM_CLASSES = 4, 10, 224, 4
 FEATURE_NAMES = ("Conv5", "Up_conv3", "Up_conv2")
 
+# v5e per-chip peak (public spec): 197 TFLOP/s bf16 on the MXU.
+PEAK_TFLOPS_BF16 = 197.0
+# Analytic fallback when XLA cost analysis is unavailable on the tunneled
+# backend: U-Net fwd+bwd at B=24x224² ≈90 GFLOP + MI joints/projectors ≈4
+# GFLOP (BASELINE.md derivation). cost_analysis is preferred and exact.
+ANALYTIC_FLOPS_PER_STEP = 94e9
+
 
 def _dtype(name):
     import jax.numpy as jnp
@@ -97,8 +104,26 @@ def _build(dtype_name: str, data_store=None, jit=True):
     return state, step
 
 
-def bench_step(dtype_name: str) -> float:
-    """Bare train step slices/s (device-synthetic batch, no data pipeline)."""
+def _step_flops(step, state, batch):
+    """FLOPs of one compiled train step from XLA's cost analysis (exact for
+    the lowered program), or None when the backend doesn't expose it."""
+    import jax
+
+    try:
+        lowered = step.lower(state, batch) if hasattr(step, "lower") else \
+            jax.jit(step).lower(state, batch)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def bench_step(dtype_name: str, want_flops: bool = False):
+    """Bare train step slices/s (device-synthetic batch, no data pipeline).
+    With want_flops, returns (slices/s, flops_per_step, source)."""
     import jax
     import jax.numpy as jnp
 
@@ -135,7 +160,12 @@ def bench_step(dtype_name: str) -> float:
         state, metrics = step(state, batch)
     sync(state, metrics)
     elapsed = time.perf_counter() - t0
-    return (N_LAB + 2 * N_UNLAB) * steps / elapsed
+    rate = (N_LAB + 2 * N_UNLAB) * steps / elapsed
+    if not want_flops:
+        return rate
+    flops = _step_flops(step, state, batch)
+    source = "xla" if flops is not None else "analytic"
+    return rate, (flops or ANALYTIC_FLOPS_PER_STEP), source
 
 
 def bench_e2e(dtype_name: str) -> float:
@@ -195,6 +225,25 @@ def bench_e2e(dtype_name: str) -> float:
     return (N_LAB + 2 * N_UNLAB) * steps / elapsed
 
 
+def _measured_cpu_ratio():
+    """Measured same-silicon torch-vs-JAX anchor (VERDICT r3 item 2): the
+    reference's udaiic step and ours, timed on THIS host's CPU by
+    scripts/cpu_baseline.py (record committed at docs/study_r04/
+    cpu_baseline.json). The reference's GPU is unspecified, so this is the
+    only hardware-controlled ratio available; reported alongside the
+    estimated GPU denominator, never silently substituted for it."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "study_r04", "cpu_baseline.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return {"torch_slices_per_sec": rec["torch"]["slices_per_sec"],
+                "jax_cpu_slices_per_sec": rec["jax_cpu"]["slices_per_sec"],
+                "jax_over_torch": rec["ratio_jax_over_torch"]}
+    except Exception:
+        return None
+
+
 def main() -> None:
     import jax
 
@@ -214,20 +263,38 @@ def main() -> None:
         }))
         return
 
-    step_v = bench_step(dtype_name)
+    step_v, flops, flops_source = bench_step(dtype_name, want_flops=True)
+    batch = N_LAB + 2 * N_UNLAB
+    achieved_tflops = step_v / batch * flops / 1e12
     record = {
         "metric": "slices_per_sec_per_chip",
         "value": round(step_v, 2),
         "unit": "slices/s",
         "vs_baseline": round(step_v / BASELINE, 2),
         # the reference publishes NO throughput numbers (BASELINE.md); the
-        # denominator is an estimate — derivation in BASELINE.md
+        # denominator is an estimate — derivation in BASELINE.md. When a
+        # measured same-host CPU ratio exists it is reported alongside.
         "baseline": {"value": BASELINE, "estimated": BASELINE_ESTIMATED},
+        # MFU accounting (VERDICT r3 item 5): achieved FLOP rate of the
+        # whole train step vs the v5e bf16 MXU peak. The flagship U-Net is
+        # narrow-channel (16-64ch at 224²) so low %-of-peak is the model's
+        # arithmetic shape, not an implementation gap — see README.
+        "mfu": {
+            "flops_per_step": round(flops / 1e9, 2),
+            "flops_unit": "GFLOP",
+            "flops_source": flops_source,
+            "achieved_tflops": round(achieved_tflops, 2),
+            "pct_peak_bf16": round(100.0 * achieved_tflops / PEAK_TFLOPS_BF16, 2),
+        },
     }
+    measured_ratio = _measured_cpu_ratio()
+    if measured_ratio is not None:
+        record["baseline"]["measured_cpu_ratio"] = measured_ratio
     if not os.environ.get("BENCH_STEP_ONLY"):
         e2e_v = bench_e2e(dtype_name)
         record["e2e"] = {"value": round(e2e_v, 2),
-                         "vs_baseline": round(e2e_v / BASELINE, 2)}
+                         "vs_baseline": round(e2e_v / BASELINE, 2),
+                         "achieved_tflops": round(e2e_v / batch * flops / 1e12, 2)}
         fp32_v = bench_step("float32")
         record["fp32"] = {"value": round(fp32_v, 2),
                           "vs_baseline": round(fp32_v / BASELINE, 2)}

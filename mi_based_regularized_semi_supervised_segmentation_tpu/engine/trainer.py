@@ -332,6 +332,14 @@ class SemiTrainer:
 
         self._progress = bool(
             self._config.get("Trainer", {}).get("progress", True))
+        # Trainer.live_metrics: per-CHUNK (scan path, free — the chunk
+        # readback already syncs) or per-progress-tick (dispatch path, costs
+        # one device sync per tick — why it is opt-in) loss values in the
+        # progress line. The observable surface of the reference's per-step
+        # tqdm postfix (WHEEL::deepclustering2/tqdm/__init__.py:22-166)
+        # without its per-step host sync; default stays dispatch-only.
+        self._live_metrics = bool(
+            self._config.get("Trainer", {}).get("live_metrics", False))
         if self._epoch_scan:
             return self._run_epoch_scan(epoch, meters)
         if self._device_data:
@@ -383,8 +391,13 @@ class SemiTrainer:
             # in-epoch feedback (reference: per-step tqdm postfix) WITHOUT
             # forcing a device sync: report dispatch progress only
             if self._progress and (i + 1) % progress_every == 0:
+                live = ""
+                if self._live_metrics:  # opt-in: syncs on the newest step
+                    m = pending[-1][0]
+                    live = (f"  sup_loss={float(jax.device_get(m['sup_loss'])):.4f}"
+                            f" reg_loss={float(jax.device_get(m['reg_loss'])):.4f}")
                 print(f"\r[{self.mode}] epoch {epoch:03d}: "
-                      f"{i + 1}/{self._num_batches} steps dispatched",
+                      f"{i + 1}/{self._num_batches} steps dispatched{live}",
                       end="" if i + 1 < self._num_batches else "\n",
                       flush=True)
             if do_profile and i == min(10, self._num_batches - 1):
@@ -444,11 +457,16 @@ class SemiTrainer:
         axis = self._mesh.axis_names[0]
         n_dev = self._mesh.shape[axis]
         if stacked.shape[1] % n_dev != 0:
-            print(f"WARNING: batch axis {stacked.shape[1]} does not divide "
-                  f"the {n_dev}-device '{axis}' mesh axis — REPLICATING "
-                  f"(every device computes the full batch). This should be "
-                  f"unreachable: pad-and-mask rounds batches to a device "
-                  f"multiple.", flush=True)
+            from ..parallel.mesh import _REPLICATION_WARNED
+
+            key = ("_put_index_batches", stacked.shape[1])
+            if key not in _REPLICATION_WARNED:
+                _REPLICATION_WARNED.add(key)
+                print(f"WARNING: batch axis {stacked.shape[1]} does not "
+                      f"divide the {n_dev}-device '{axis}' mesh axis — "
+                      f"REPLICATING (every device computes the full batch). "
+                      f"This should be unreachable: pad-and-mask rounds "
+                      f"batches to a device multiple.", flush=True)
             spec = P()
         else:
             spec = P(None, axis)
@@ -496,6 +514,15 @@ class SemiTrainer:
             self._state, part = self._epoch_fns[size](self._state, batches)
             chunk_stacked.append(jax.device_get(part))
             done += size
+            if self._progress and self._live_metrics:
+                # free: the chunk readback above already synced
+                sl = float(np.mean(np.concatenate(
+                    [np.ravel(np.asarray(c["sup_loss"])) for c in chunk_stacked])))
+                rl = float(np.mean(np.concatenate(
+                    [np.ravel(np.asarray(c["reg_loss"])) for c in chunk_stacked])))
+                print(f"\r[{self.mode}] epoch {epoch:03d}: scan "
+                      f"{done}/{self._num_batches}  sup_loss={sl:.4f} "
+                      f"reg_loss={rl:.4f}", end="", flush=True)
         stacked = {k: np.concatenate([np.asarray(c[k]) for c in chunk_stacked])
                    for k in chunk_stacked[0]}
 

@@ -103,6 +103,10 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# keys already warned about in shard_batch's replication fallback
+_REPLICATION_WARNED: set = set()
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh],
                 data_axis: Optional[str] = None) -> Dict[str, Any]:
     """Device-put array values of a host batch, sharded on axis 0. Non-array
@@ -123,10 +127,14 @@ def shard_batch(batch: Dict[str, Any], mesh: Optional[Mesh],
                 # train batches are pre-padded to a device multiple
                 # (pad-and-mask); this fallback catches variable-size eval
                 # batches on the host path — replicate rather than throw,
-                # and say so.
-                print(f"WARNING: '{k}' batch dim {v.shape[0]} does not "
-                      f"divide the {n_dev}-device '{axis}' axis — "
-                      f"replicating this array.", flush=True)
+                # and say so ONCE per key (patient-grouped eval epochs would
+                # otherwise emit hundreds of identical lines).
+                if k not in _REPLICATION_WARNED:
+                    _REPLICATION_WARNED.add(k)
+                    print(f"WARNING: '{k}' batch dim {v.shape[0]} does not "
+                          f"divide the {n_dev}-device '{axis}' axis — "
+                          f"replicating this array (warned once per key).",
+                          flush=True)
                 out[k] = jax.device_put(v, replicated)
             else:
                 out[k] = jax.device_put(v, sharding)

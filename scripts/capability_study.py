@@ -85,6 +85,10 @@ def main():
                     default="bfloat16",
                     help="float32: fp32-parity capability spot-check "
                          "(VERDICT r3 weak item 4)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted run from its last.ckpt "
+                         "(epoch/best/storage restored) instead of "
+                         "restarting from scratch")
     args = ap.parse_args()
 
     epochs = args.epochs or (2 if args.quick else 50)
@@ -166,6 +170,11 @@ def main():
                 device=tcfg.get("device", "tpu"),
             )
             trainer.init()
+            last = out_dir / f"{mode}_s{seed}" / "last.ckpt"
+            if args.resume and last.exists():
+                trainer.load_state_dict_from_path(str(last))
+                print(f"[study] {mode} seed {seed}: resuming after epoch "
+                      f"{trainer._cur_epoch}", flush=True)
             print(f"[study] {mode} seed {seed}: {epochs} epochs x {batches}",
                   flush=True)
             best = trainer.start_training()

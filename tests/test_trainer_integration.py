@@ -138,3 +138,80 @@ def test_trainer_padded_mesh_full_loop(setup, tmp_path):
     best = t.start_training()
     assert np.isfinite(best) and 0 <= best <= 1
     assert (tmp_path / "t_padded" / "storage.csv").exists()
+
+
+def test_inference_end_to_end(setup, tmp_path):
+    """The one user-facing path previously untested (VERDICT r3 item 4):
+    train -> save best -> trainer.inference() -> PNG exports per test case
+    + Hausdorff report keys + DSC_mean consistent with the eval path
+    (reference: semi_seg/epocher.py:76-107 + trainer.py:109-125)."""
+    root, loaders = setup
+    Trainer = trainer_zoos["partial"]
+    t = Trainer(configuration=_config("partial", tmp_path), save_dir="t_inf",
+                max_epoch=1, num_batches=2, crop_size=CROP,
+                run_dir=str(tmp_path), **loaders)
+    t.init()
+    t.start_training()
+
+    report, score = t.inference()
+
+    # report surface: dice + hausdorff per reported class + means
+    assert np.isfinite(score) and 0 <= score <= 1
+    assert report["dice"]["DSC_mean"] == score
+    assert any(k.startswith("HD") or k.endswith("_mean") for k in report["hd"]), report["hd"]
+
+    # PNG dumps: img/gt/pred per test-loader case
+    save_dir = tmp_path / "t_inf"
+    test_files = set()
+    for batch in loaders["test_loader"]:
+        n_valid = int(np.sum(batch["mask"]))
+        test_files.update(batch["filename"][:n_valid])
+    assert test_files
+    for sub in ("img", "gt", "pred"):
+        got = {p.stem for p in (save_dir / sub).glob("*.png")}
+        assert test_files <= got, (sub, test_files - got)
+
+    # inference() loaded BEST into the live state; the eval path over the
+    # same test loader must agree on DSC_mean
+    eval_report, eval_score = t._eval_epoch(loaders["test_loader"])
+    assert np.isclose(eval_score, score, atol=1e-6), (eval_score, score)
+
+
+def test_inference_explicit_checkpoint(setup, tmp_path):
+    """inference(checkpoint=dir) resolves best.ckpt inside the directory,
+    mirroring the reference's checkpoint argument handling."""
+    root, loaders = setup
+    Trainer = trainer_zoos["partial"]
+    t = Trainer(configuration=_config("partial", tmp_path), save_dir="t_inf2",
+                max_epoch=1, num_batches=1, crop_size=CROP,
+                run_dir=str(tmp_path), **loaders)
+    t.init()
+    t.start_training()
+    report, score = t.inference(checkpoint=str(tmp_path / "t_inf2"))
+    assert np.isfinite(score)
+
+
+def test_live_metrics_progress_line(setup, tmp_path, capsys):
+    """Trainer.live_metrics: loss values appear in the progress line on both
+    epoch paths (scan: free per-chunk readback; dispatch: opt-in sync)."""
+    root, loaders = setup
+    cfg = _config("partial", tmp_path)
+    cfg["Trainer"].update(progress=True, live_metrics=True)
+    t = trainer_zoos["partial"](
+        configuration=cfg, save_dir="t_live", max_epoch=1, num_batches=2,
+        crop_size=CROP, run_dir=str(tmp_path), **loaders)
+    t.init()
+    t.start_training()
+    out = capsys.readouterr().out
+    assert "sup_loss=" in out and "reg_loss=" in out
+
+    cfg2 = _config("partial", tmp_path)
+    cfg2["Trainer"].update(progress=True, live_metrics=True, device_data=True,
+                           epoch_scan=True, scan_chunk=1)
+    t2 = trainer_zoos["partial"](
+        configuration=cfg2, save_dir="t_live2", max_epoch=1, num_batches=2,
+        crop_size=CROP, run_dir=str(tmp_path), **loaders)
+    t2.init()
+    t2.start_training()
+    out2 = capsys.readouterr().out
+    assert "scan" in out2 and "sup_loss=" in out2
