@@ -122,12 +122,93 @@ def _adabound(lr, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init, update)
 
 
+def _coupled(scale_factory):
+    """torch.optim semantics: L2 weight decay is added to the gradient
+    BEFORE the accumulator update (coupled), then the lr scales the step.
+    Builds an optimizer factory around an optax scale_by_* transform."""
+
+    def factory(lr, weight_decay: float = 0.0, **kw):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            scale_factory(**kw),
+            optax.scale_by_learning_rate(lr),
+        )
+
+    return factory
+
+
+def _rmsprop(lr, weight_decay: float = 0.0, alpha: float = 0.99,
+             eps: float = 1e-8, momentum: float = 0.0,
+             centered: bool = False, **_):
+    scale = (optax.scale_by_stddev(decay=alpha, eps=eps) if centered
+             else optax.scale_by_rms(decay=alpha, eps=eps))
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+        scale,
+        optax.trace(decay=momentum) if momentum else optax.identity(),
+        optax.scale_by_learning_rate(lr),
+    )
+
+
+def _lookahead_of(inner_factory, sync_period: int = 5, slow_step: float = 0.5):
+    """torch_optimizer.Lookahead/Ranger: fast weights stepped by the inner
+    optimizer, slow weights pulled toward them every sync_period steps.
+    NOTE: requires ``optax.LookaheadParams`` trees; exposed for API-surface
+    parity — the trainers use flat param trees, so this is opt-in for users
+    who adopt the lookahead param container."""
+
+    def factory(lr, **kw):
+        return optax.lookahead(inner_factory(lr, **kw), sync_period=sync_period,
+                               slow_step_size=slow_step)
+
+    return factory
+
+
+# Optimizer-by-name surface. The reference re-exports the whole
+# ``torch.optim.* + torch_optimizer.*`` namespace
+# (WHEEL::deepclustering2/optim/__init__.py:1-11); every name below follows
+# the torch-coupled weight-decay convention except AdamW/Lamb (decoupled by
+# definition). Names its configs actually use: SGD/Adam/AdamW/RAdam/AdaBound.
 OPTIMIZERS = {
+    # torch.optim
     "Adam": _adam,
     "AdamW": _adamw,
     "SGD": _sgd,
     "RAdam": _radam,
+    "NAdam": _coupled(lambda b1=0.9, b2=0.999, eps=1e-8, **_:
+                      optax.scale_by_adam(b1=b1, b2=b2, eps=eps, nesterov=True)),
+    "Adadelta": _coupled(lambda rho=0.9, eps=1e-6, **_:
+                         optax.scale_by_adadelta(rho=rho, eps=eps)),
+    "Adagrad": _coupled(lambda eps=1e-10, initial_accumulator_value=0.0, **_:
+                        optax.scale_by_rss(
+                            initial_accumulator_value=initial_accumulator_value,
+                            eps=eps)),
+    "Adamax": _coupled(lambda b1=0.9, b2=0.999, eps=1e-8, **_:
+                       optax.scale_by_adamax(b1=b1, b2=b2, eps=eps)),
+    "RMSprop": _rmsprop,
+    "Rprop": _coupled(lambda eta_minus=0.5, eta_plus=1.2, **_:
+                      optax.scale_by_rprop(learning_rate=1.0,
+                                           eta_minus=eta_minus,
+                                           eta_plus=eta_plus)),
+    # torch_optimizer
     "AdaBound": _adabound,
+    "AdaBelief": _coupled(lambda b1=0.9, b2=0.999, eps=1e-16, **_:
+                          optax.scale_by_belief(b1=b1, b2=b2, eps=eps)),
+    "Yogi": _coupled(lambda b1=0.9, b2=0.999, eps=1e-3, **_:
+                     optax.scale_by_yogi(b1=b1, b2=b2, eps=eps)),
+    "NovoGrad": _coupled(lambda b1=0.9, b2=0.25, eps=1e-8, **_:
+                         optax.scale_by_novograd(b1=b1, b2=b2, eps=eps)),
+    "Lamb": lambda lr, weight_decay=0.0, b1=0.9, b2=0.999, eps=1e-6, **_:
+        optax.chain(optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+                    optax.add_decayed_weights(weight_decay),
+                    optax.scale_by_trust_ratio(),
+                    optax.scale_by_learning_rate(lr)),
+    "Lion": lambda lr, weight_decay=0.0, b1=0.9, b2=0.99, **_:
+        optax.chain(optax.scale_by_lion(b1=b1, b2=b2),
+                    optax.add_decayed_weights(weight_decay),
+                    optax.scale_by_learning_rate(lr)),
+    "Lookahead": _lookahead_of(_adam),
+    "Ranger": _lookahead_of(_radam, sync_period=6),
 }
 
 

@@ -759,15 +759,38 @@ class SemiTrainer:
         )
         from ..utils.imageio import write_img_target, write_predict
 
+        # Trainer.device_data: forward from the HBM-resident store via the
+        # ALREADY-COMPILED patient eval step (no fresh host-path compile, no
+        # image upload over the slow link — only indices up / preds down).
+        # The host test loader still supplies pixels + filenames for the PNG
+        # dumps; prediction rows are re-aligned by filename in case the two
+        # loaders order a patient's slices differently.
+        index_batches = {}
+        if self._device_data:
+            index_batches = {b["group"]: b for b in self._test_index_loader}
+
         for batch in self._test_loader:
-            device_batch = shard_batch(
-                {k: batch[k] for k in ("image", "target", "mask")}, self._mesh
-            )
-            out = self._eval_step(
-                self._state.params, self._state.batch_stats,
-                device_batch["image"], device_batch["target"], device_batch["mask"],
-            )
-            out = jax.device_get(out)
+            ib = index_batches.get(batch["group"])
+            if ib is not None:
+                out = jax.device_get(self._eval_step_test(
+                    self._state.params, self._state.batch_stats,
+                    ib["indices"], ib["mask"],
+                ))
+                rows = {fn: np.asarray(out["pred"])[i]
+                        for i, fn in enumerate(ib["filename"])}
+                n_valid = int(np.sum(batch["mask"]))
+                out["pred"] = np.stack(
+                    [rows[fn] for fn in batch["filename"][:n_valid]])
+            else:
+                device_batch = shard_batch(
+                    {k: batch[k] for k in ("image", "target", "mask")}, self._mesh
+                )
+                out = self._eval_step(
+                    self._state.params, self._state.batch_stats,
+                    device_batch["image"], device_batch["target"],
+                    device_batch["mask"],
+                )
+                out = jax.device_get(out)
             meters["loss"].add(float(out["loss"]))
             meters["dice"].add_stats(
                 np.asarray(out["inter"]), np.asarray(out["union"]), group_name=batch["group"]

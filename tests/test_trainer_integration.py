@@ -177,6 +177,33 @@ def test_inference_end_to_end(setup, tmp_path):
     assert np.isclose(eval_score, score, atol=1e-6), (eval_score, score)
 
 
+def test_inference_device_data_fast_path(setup, tmp_path):
+    """With Trainer.device_data, inference() forwards from the HBM store via
+    the already-compiled patient eval step (indices up / preds down only) and
+    must produce the same report surface + PNG dumps as the host path."""
+    root, loaders = setup
+    cfg = _config("partial", tmp_path)
+    cfg["Trainer"]["device_data"] = True
+    t = trainer_zoos["partial"](
+        configuration=cfg, save_dir="t_inf_dev", max_epoch=1, num_batches=2,
+        crop_size=CROP, run_dir=str(tmp_path), **loaders)
+    t.init()
+    t.start_training()
+    report, score = t.inference()
+    assert np.isfinite(score) and 0 <= score <= 1
+    # device eval path and inference() agree (same store, same step)
+    _, eval_score = t._eval_epoch(loaders["test_loader"])
+    assert np.isclose(eval_score, score, atol=1e-6), (eval_score, score)
+    save_dir = tmp_path / "t_inf_dev"
+    test_files = set()
+    for batch in loaders["test_loader"]:
+        n_valid = int(np.sum(batch["mask"]))
+        test_files.update(batch["filename"][:n_valid])
+    for sub in ("img", "gt", "pred"):
+        got = {p.stem for p in (save_dir / sub).glob("*.png")}
+        assert test_files <= got, (sub, test_files - got)
+
+
 def test_inference_explicit_checkpoint(setup, tmp_path):
     """inference(checkpoint=dir) resolves best.ckpt inside the directory,
     mirroring the reference's checkpoint argument handling."""
