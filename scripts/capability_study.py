@@ -29,7 +29,7 @@ MODES = ("partial", "uda", "iic", "udaiic", "fs")
 
 def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
                  stem: str = "conv", geometry: str = "fused",
-                 precision: str = "bfloat16"):
+                 precision: str = "bfloat16", bn_dtype: str = ""):
     labeled_ratio = 1.0 if mode == "fs" else 0.05
     unlabeled_ratio = 0.0 if mode == "fs" else 0.95
     trainer_name = "partial" if mode == "fs" else mode
@@ -49,7 +49,8 @@ def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
                     "epoch_scan": True, "progress": False,
                     "feature_names": ["Conv5", "Up_conv3", "Up_conv2"],
                     "feature_importance": [1.0, 0.5, 0.5]},
-        "Precision": {"compute_dtype": precision, "bn_dtype": precision},
+        "Precision": {"compute_dtype": precision,
+                      "bn_dtype": bn_dtype or precision},
         "Kernel": {"geometry": geometry},
         "UDARegCriterion": {"name": "mse", "weight": 10.0},
         "IICRegParameters": {
@@ -85,6 +86,11 @@ def main():
                     default="bfloat16",
                     help="float32: fp32-parity capability spot-check "
                          "(VERDICT r3 weak item 4)")
+    ap.add_argument("--bn-dtype", choices=["", "bfloat16", "float32"],
+                    default="",
+                    help="BatchNorm dtype override (default: follow "
+                         "--precision). bfloat16 compute + float32 BN is "
+                         "the mixed-precision capability probe")
     ap.add_argument("--resume", action="store_true",
                     help="continue an interrupted run from its last.ckpt "
                          "(epoch/best/storage restored) instead of "
@@ -120,7 +126,8 @@ def main():
     # invocation's values (out dirs are per-variant by convention), so
     # resuming an in-flight directory keeps working.
     variant = {"fixture": args.fixture, "stem": args.stem,
-               "geometry": args.geometry, "precision": args.precision}
+               "geometry": args.geometry, "precision": args.precision,
+               "bn_dtype": args.bn_dtype or args.precision}
 
     def run_key(r):
         return (r["mode"], r["seed"],
@@ -129,7 +136,9 @@ def main():
                 r.get("geometry", variant["geometry"]),
                 # every row written before this field existed was bfloat16,
                 # so the missing-field default is factual, not invocation-tied
-                r.get("precision", "bfloat16"))
+                r.get("precision", "bfloat16"),
+                # rows written before bn_dtype existed used bn == compute
+                r.get("bn_dtype", r.get("precision", "bfloat16")))
 
     done = set()
     if results_path.exists():
@@ -149,13 +158,13 @@ def main():
     for mode in modes:
         for seed in seeds:
             if (mode, seed, args.fixture, args.stem, args.geometry,
-                    args.precision) in done:
+                    args.precision, variant["bn_dtype"]) in done:
                 print(f"[study] skip {mode} seed {seed} (done)", flush=True)
                 continue
             set_seed(seed)
             cfg = build_config(mode, seed, f"study/{mode}_s{seed}", epochs, batches,
                                stem=args.stem, geometry=args.geometry,
-                               precision=args.precision)
+                               precision=args.precision, bn_dtype=args.bn_dtype)
             labeled, unlabeled, test = get_dataloaders(cfg, data_root=data_root)
             val = create_val_loader(unlabeled, test)
             Trainer = trainer_zoos[cfg["Trainer"]["name"]]
