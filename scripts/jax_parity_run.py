@@ -24,7 +24,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run_one(mode, seed, epochs, batches, out_dir: Path, data_root: str):
+def run_one(mode, seed, epochs, batches, out_dir: Path, data_root: str,
+            device: str = "cpu"):
     from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
         create_val_loader,
         get_dataloaders,
@@ -40,9 +41,11 @@ def run_one(mode, seed, epochs, batches, out_dir: Path, data_root: str):
     set_seed(seed)
     cfg = build_config(mode, seed, f"{mode}_s{seed}", epochs, batches,
                        precision="float32")
-    # CPU parity variant: host data path (PairedTransform), no epoch scan,
-    # XLA backend for the MI joints (the Pallas kernels are TPU-shaped)
-    cfg["Trainer"].update(device="cpu", device_data=False, epoch_scan=False,
+    # Parity variant: host data path (PairedTransform), no epoch scan,
+    # XLA backend for the MI joints — fp32 XLA is the numerics-parity mode
+    # regardless of device (the 1-core host makes CPU runs of the heavier
+    # modes compile-bound, so udaiic runs on the TPU chip instead).
+    cfg["Trainer"].update(device=device, device_data=False, epoch_scan=False,
                           progress=False)
     cfg["Kernel"] = {"backend": "xla"}
 
@@ -56,7 +59,7 @@ def run_one(mode, seed, epochs, batches, out_dir: Path, data_root: str):
         labeled_loader=labeled, unlabeled_loader=unlabeled,
         val_loader=val, test_loader=test, configuration=cfg,
         run_dir=str(out_dir), save_dir=f"{mode}_s{seed}",
-        max_epoch=epochs, num_batches=batches, device="cpu",
+        max_epoch=epochs, num_batches=batches, device=device,
     )
     trainer.init()
     t0 = time.perf_counter()
@@ -77,7 +80,7 @@ def run_one(mode, seed, epochs, batches, out_dir: Path, data_root: str):
             "test_dsc": float(r.get("test_dice_DSC_mean", float("nan"))),
         })
     return {"rows": rows, "best_val_dsc": float(best), "wall_seconds": wall,
-            "labeled_patients": lab_patients}
+            "labeled_patients": lab_patients, "device": device}
 
 
 def main():
@@ -88,11 +91,13 @@ def main():
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--out", default="runs/jax_parity")
     ap.add_argument("--data-root", default="/tmp/parity_data")
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_parity_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -121,7 +126,7 @@ def main():
             print(f"[jax-parity] {mode} seed {seed}: "
                   f"{args.epochs}x{args.batches}", flush=True)
             res = run_one(mode, seed, args.epochs, args.batches, out_dir,
-                          args.data_root)
+                          args.data_root, device=args.device)
             row = {"mode": mode, "seed": seed, "epochs": args.epochs,
                    "batches": args.batches, **res}
             with open(results_path, "a") as f:

@@ -44,8 +44,11 @@ def main():
         "",
         "Setup: the REAL reference trainer (`/root/reference/semi_seg/trainer.py` +",
         "`epocher.py`, loaded at runtime by `scripts/torch_oracle.py` under",
-        "dependency shims) and this framework (`scripts/jax_parity_run.py`, CPU",
-        "fp32, host data path) trained on the IDENTICAL synthetic ACDC fixture",
+        "dependency shims) and this framework (`scripts/jax_parity_run.py`,",
+        "fp32, `Kernel.backend=xla`, host data path; device noted per run —",
+        "the 1-core host makes the heavier modes compile-bound under XLA:CPU,",
+        "so those run on the TPU chip in fp32) trained on the IDENTICAL",
+        "synthetic ACDC fixture",
         "(v1-hard, 40 train / 8 val patients, seed 0), identical patient split,",
         "budget and hyperparameters (Adam 1e-7 x400 warmup->cosine, batch 4+10,",
         "UDA mse w=10, IIC w=0.1, subheads 5, clusters 20, paddings [1,3]).",
@@ -66,7 +69,8 @@ def main():
     lines.append("## Per-epoch trajectories (overlaid)")
     for mode, seed in keys:
         t, j = t_runs[(mode, seed)], j_runs[(mode, seed)]
-        lines += ["", f"### {mode}, seed {seed}", "",
+        dev = j.get("device", "cpu")
+        lines += ["", f"### {mode}, seed {seed} (torch: cpu; jax: {dev})", "",
                   "| epoch | sup_loss torch | sup_loss jax | val_DSC torch | val_DSC jax |",
                   "|---|---|---|---|---|"]
         jr = {r["epoch"]: r for r in j["rows"]}
