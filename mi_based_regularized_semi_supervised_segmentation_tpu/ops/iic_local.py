@@ -68,6 +68,10 @@ def displaced_joint(
         backend = "pallas" if jax.default_backend() == "tpu" else "xla_banded"
     if backend == "xla":
         return displaced_joint_xla(x, x_tf, padding)
+    if backend == "xla_scan":
+        return displaced_joint_xla_subheads_scan(
+            x[:, :, :, None, :], x_tf[:, :, :, None, :], padding
+        )[:, :, 0]
     if backend == "xla_banded":
         return displaced_joint_xla_banded(x, x_tf, padding)
     if backend == "pallas":
@@ -228,6 +232,47 @@ def displaced_joint_xla_subheads(x: jnp.ndarray, x_tf: jnp.ndarray, padding: int
     return jnp.stack(rows, axis=0)  # [T, T, S, K, K]
 
 
+def displaced_joint_xla_subheads_scan(
+    x: jnp.ndarray, x_tf: jnp.ndarray, padding: int
+) -> jnp.ndarray:
+    """Memory-bounded fp32 displaced joint: same numerics as
+    ``displaced_joint_xla_subheads`` but ``lax.scan`` over the (2p+1)^2
+    displacements of a zero-padded copy of ``x``.
+
+    The per-displacement einsum backward materializes a [B, H, W, S, K] f32
+    temp per displacement; the unrolled variant lets XLA keep many of them
+    live at once (fp32 + B=10 OOMs a 16 GB chip by ~0.5 GB at paddings
+    [1, 3]). Scanning serializes the backward to ONE displacement temp plus
+    the accumulated input gradient. Zero-padding contributes exact zeros to
+    the sums, so values match the sliced formulation (conv zero-padding
+    semantics, iic_loss.py:117-123) bit-for-bit up to summation order."""
+    assert x.ndim == 5 and x.shape == x_tf.shape, (x.shape, x_tf.shape)
+    B, H, W, S, K = x.shape
+    p = padding
+    T = 2 * p + 1
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (p, p), (p, p), (0, 0), (0, 0)))
+    xtf = x_tf.astype(jnp.float32)
+    offsets = jnp.array(
+        [(dy, dx) for dy in range(T) for dx in range(T)], jnp.int32
+    )
+
+    def body(carry, off):
+        a = jax.lax.dynamic_slice(
+            xp, (0, off[0], off[1], 0, 0), (B, H, W, S, K)
+        )
+        j = jnp.einsum(
+            "bhwsk,bhwsl->skl",
+            a,
+            xtf,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return carry, j
+
+    _, joints = jax.lax.scan(body, 0, offsets)  # [T*T, S, K, K]
+    return joints.reshape(T, T, S, K, K)
+
+
 def iid_segmentation_loss_subheads(
     x_out: jnp.ndarray,
     x_tf_out: jnp.ndarray,
@@ -242,6 +287,8 @@ def iid_segmentation_loss_subheads(
 
     backend: 'pallas' (fused kernel), 'xla_banded' (shift-stack matmul),
     'xla' (per-displacement einsums, fp32 HIGHEST — the parity reference),
+    'xla_scan' (same numerics as 'xla', lax.scan-serialized backward — the
+    fp32-on-TPU parity mode; see displaced_joint_xla_subheads_scan),
     'auto' (pallas -> banded fallback).
 
     pre_padded: inputs already carry the zero spatial border of width
@@ -271,6 +318,8 @@ def iid_segmentation_loss_subheads(
         joint = _block_diagonal_subheads(flat, S, K)
     elif backend == "xla":
         joint = displaced_joint_xla_subheads(x_out, x_tf_out, padding)
+    elif backend == "xla_scan":
+        joint = displaced_joint_xla_subheads_scan(x_out, x_tf_out, padding)
     per_subhead = jax.vmap(lambda j: mi_from_joint(j, lamb), in_axes=2)(joint)  # [S]
     return jnp.mean(per_subhead)
 

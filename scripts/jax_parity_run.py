@@ -45,9 +45,12 @@ def run_one(mode, seed, epochs, batches, out_dir: Path, data_root: str,
     # XLA backend for the MI joints — fp32 XLA is the numerics-parity mode
     # regardless of device (the 1-core host makes CPU runs of the heavier
     # modes compile-bound, so udaiic runs on the TPU chip instead).
+    # xla_scan = same per-displacement fp32 HIGHEST einsums, lax.scan-
+    # serialized so the fp32 backward fits a 16 GB chip (the unrolled 'xla'
+    # variant OOMs by ~0.5 GB at B=10, paddings [1,3]).
     cfg["Trainer"].update(device=device, device_data=False, epoch_scan=False,
                           progress=False)
-    cfg["Kernel"] = {"backend": "xla"}
+    cfg["Kernel"] = {"backend": "xla_scan" if device == "tpu" else "xla"}
 
     labeled, unlabeled, test = get_dataloaders(cfg, data_root=data_root)
     val = create_val_loader(unlabeled, test)

@@ -65,6 +65,36 @@ def test_banded_matches_plain_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
 
 
+@pytest.mark.parametrize("padding", [1, 3])
+def test_scan_backend_matches_xla_values_and_grads(rng, padding):
+    """xla_scan (memory-bounded fp32 parity mode) == xla, values AND grads."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.ops.iic_local import (
+        displaced_joint_xla_subheads,
+        displaced_joint_xla_subheads_scan,
+    )
+
+    xs = _sm(rng, (2, 12, 11, 3, 4))
+    ys = _sm(rng, (2, 12, 11, 3, 4))
+    ref = displaced_joint_xla_subheads(xs, ys, padding)
+    got = displaced_joint_xla_subheads_scan(xs, ys, padding)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-7)
+
+    def loss(back):
+        def f(a, b):
+            return iid_segmentation_loss_subheads(a, b, padding, backend=back)
+        return f
+
+    # fp32 summation-order noise (scan sums the padded zeros region in a
+    # different association) amplified by the entropy difference: ~2e-6 rel
+    lr = float(loss("xla")(xs, ys))
+    ls = float(loss("xla_scan")(xs, ys))
+    assert np.isclose(lr, ls, rtol=1e-4)
+    gr = jax.grad(loss("xla"), argnums=(0, 1))(xs, ys)
+    gs = jax.grad(loss("xla_scan"), argnums=(0, 1))(xs, ys)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-6)
+
+
 def test_subhead_loss_backend_parity(rng):
     xs = _sm(rng, (2, 12, 11, 3, 4))
     ys = _sm(rng, (2, 12, 11, 3, 4))
