@@ -59,3 +59,24 @@ def test_flat_loss_matches_5d(rng):
         p1.reshape(2, 10, 9, S, K), p2.reshape(2, 10, 9, S, K),
         padding=1, patch_size=1024, backend="xla_banded"))
     assert np.isclose(flat, five, rtol=1e-5)
+
+
+def test_flat_front_door_xla_scan_matches_xla(rng):
+    """The exact trainer path of the fp32-on-TPU parity mode: flat layout
+    + pre_padded + backend='xla_scan' == the unrolled 'xla' reference."""
+    S, K, pad = 2, 5, 1
+    z1 = jnp.asarray(rng.normal(size=(2, 12, 11, S * K)), jnp.float32)
+    z2 = jnp.asarray(rng.normal(size=(2, 12, 11, S * K)), jnp.float32)
+    p1 = group_softmax_flat(z1, S, K)
+    p2 = group_softmax_flat(z2, S, K)
+    # zero the pre-padded border like _iic_regularization does
+    valid = jnp.pad(jnp.ones((12 - 2 * pad, 11 - 2 * pad), p1.dtype),
+                    ((pad, pad), (pad, pad))).reshape(1, 12, 11, 1)
+    p1, p2 = p1 * valid, p2 * valid
+    ref = float(iid_segmentation_small_patch_loss_flat(
+        p1, p2, S, K, padding=pad, patch_size=1024, backend="xla",
+        pre_padded=True))
+    got = float(iid_segmentation_small_patch_loss_flat(
+        p1, p2, S, K, padding=pad, patch_size=1024, backend="xla_scan",
+        pre_padded=True))
+    assert np.isclose(ref, got, rtol=1e-4)
