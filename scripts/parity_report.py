@@ -45,7 +45,9 @@ def main():
         "Setup: the REAL reference trainer (`/root/reference/semi_seg/trainer.py` +",
         "`epocher.py`, loaded at runtime by `scripts/torch_oracle.py` under",
         "dependency shims) and this framework (`scripts/jax_parity_run.py`,",
-        "fp32, `Kernel.backend=xla`, host data path; device noted per run —",
+        "fp32, `Kernel.backend=xla` on CPU / `xla_scan` on TPU (identical",
+        "per-displacement fp32 HIGHEST einsums; scan-serialized so the fp32",
+        "backward fits the 16 GB chip), host data path; device noted per run —",
         "the 1-core host makes the heavier modes compile-bound under XLA:CPU,",
         "so those run on the TPU chip in fp32) trained on the IDENTICAL",
         "synthetic ACDC fixture",
