@@ -68,6 +68,15 @@ def main():
                  f"{'IDENTICAL' if t_pat == j_pat else 'DIFFERENT (!)'}")
     lines.append("")
 
+    carried = sorted({(m, s) for (m, s) in keys
+                      if t_runs[(m, s)].get("carried_from")
+                      or j_runs[(m, s)].get("carried_from")})
+    if carried:
+        lines += [f"Rows carried verbatim from an earlier committed run of this "
+                  f"round (raw runs/ artifacts are cleaned between builder "
+                  f"sessions): {', '.join(f'{m} s{s}' for m, s in carried)}.",
+                  ""]
+
     lines.append("## Per-epoch trajectories (overlaid)")
     for mode, seed in keys:
         t, j = t_runs[(mode, seed)], j_runs[(mode, seed)]
