@@ -195,7 +195,7 @@ def bench_e2e(dtype_name: str) -> float:
     root = tempfile.mkdtemp(prefix="bench_acdc_")
     generate_synthetic_acdc(root, num_train_patients=20, num_val_patients=2,
                             slices_per_patient=10, size=256)
-    store = DeviceDataStore(ACDCDataset(root, "train"))
+    store = DeviceDataStore(ACDCDataset(root, "train"), pack=True)
     stores = {"labeled": store, "unlabeled": store}
     if pipelined:  # production path: augmentation overlaps the previous step
         state, raw = _build(dtype_name, data_store=None, jit=False)

@@ -38,7 +38,7 @@ class DeviceDataStore:
     device-resident per-slice valid windows (valid_hw_dev / offsets_dev)."""
 
     def __init__(self, dataset: ACDCDataset, pad_to: Optional[Tuple[int, int]] = None,
-                 device=None, mesh=None) -> None:
+                 device=None, mesh=None, pack: bool = False) -> None:
         n = len(dataset)
         assert n > 0
         shapes = []
@@ -68,6 +68,16 @@ class DeviceDataStore:
             device = NamedSharding(mesh, P())  # replicated: local gathers
         self.images = jax.device_put(images, device)
         self.labels = jax.device_put(labels, device)
+        # pack=True (labeled train stores): image and label interleaved into
+        # ONE uint16 plane (img<<8 | label) so the in-step augmentation
+        # gathers the pair with a single element gather — the gather is
+        # per-element serialized on the TPU core (~13 cycles/element,
+        # ops/augment_device.py), so halving the gathered element count
+        # halves its cost. Costs 2 extra bytes/px of HBM for the store.
+        self.packed = (
+            jax.device_put((images.astype(np.uint16) << 8) | labels, device)
+            if pack else None
+        )
         self.valid_hw_dev = jax.device_put(self.valid_hw, device)
         self.offsets_dev = jax.device_put(self.offsets, device)
         self.groups = [dataset.get_group(s) for s in self.stems]

@@ -249,14 +249,17 @@ def build_train_step(
             new_rng, flip_key, aug_l, aug_u = jax.random.split(state.rng, 4)
             lab_idx = batch["labeled_indices"]
             unlab_idx = batch["unlabeled_indices"]
+            lab_packed = getattr(lab_store, "packed", None)
             labeled_image, labeled_target = augment_pair_batch(
                 aug_l,
-                lab_store.images[lab_idx],
-                lab_store.labels[lab_idx],
+                lab_store.images[lab_idx] if lab_packed is None
+                else lab_packed[lab_idx],
+                lab_store.labels[lab_idx] if lab_packed is None else None,
                 crop=crop,
                 valid_hw=lab_store.valid_hw_dev[lab_idx],
                 offsets=lab_store.offsets_dev[lab_idx],
                 geometry=geometry,
+                packed=lab_packed is not None,
             )
             unlabeled_image, _ = augment_pair_batch(
                 aug_u,
@@ -484,10 +487,15 @@ def build_augment_fn(data_store, crop: int = 224, geometry: str = "fused"):
         k_l, k_u = jax.random.split(k)
         lab_idx = batch["labeled_indices"]
         unlab_idx = batch["unlabeled_indices"]
+        lab_packed = getattr(lab_store, "packed", None)
         labeled_image, labeled_target = augment_pair_batch(
-            k_l, lab_store.images[lab_idx], lab_store.labels[lab_idx],
+            k_l,
+            lab_store.images[lab_idx] if lab_packed is None
+            else lab_packed[lab_idx],
+            lab_store.labels[lab_idx] if lab_packed is None else None,
             crop=crop, valid_hw=lab_store.valid_hw_dev[lab_idx],
             offsets=lab_store.offsets_dev[lab_idx], geometry=geometry,
+            packed=lab_packed is not None,
         )
         unlabeled_image, _ = augment_pair_batch(
             k_u, unlab_store.images[unlab_idx], None, crop=crop,

@@ -160,7 +160,11 @@ class SemiTrainer:
                 DevicePatientEvalLoader,
             )
 
-            lab_store = DeviceDataStore(self._labeled_loader.dataset, mesh=self._mesh)
+            # pack=True: labeled slices staged as ONE uint16 img|label plane
+            # so the in-step augmentation gathers the pair with a single
+            # element gather (ops/augment_device.py packed mode)
+            lab_store = DeviceDataStore(self._labeled_loader.dataset,
+                                        mesh=self._mesh, pack=True)
             unlab_store = DeviceDataStore(self._unlabeled_loader.dataset, mesh=self._mesh)
             self._data_stores = {"labeled": lab_store, "unlabeled": unlab_store}
             lab_bs = cfg.get("LabeledData", {}).get("batch_size", 4)

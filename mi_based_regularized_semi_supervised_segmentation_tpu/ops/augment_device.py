@@ -95,6 +95,7 @@ def augment_pair_batch(
     valid_hw: Optional[jnp.ndarray] = None,   # [B, 2] valid (h, w) per slice
     offsets: Optional[jnp.ndarray] = None,    # [B, 2] canvas (top, left)
     geometry: str = "fused",
+    packed: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full reference-pretrain augmentation, synchronized image/label.
     Returns (image [B, crop, crop, 1] float32 in [0,~1.5], label [B, crop, crop]).
@@ -116,6 +117,13 @@ def augment_pair_batch(
       alone: 16 ms — the cost of this whole gather).
     - "sequential": separate rotate-gather, flip and crop passes (the
       reference op order, parity anchor for tests).
+    packed=True: ``images`` is the store's uint16 img<<8|label plane
+    (DeviceDataStore(pack=True)) and ``labels`` must be None — the fused
+    path gathers image AND label with ONE element gather (half the
+    serialized gather cost) and unpacks the crop²-sized result.
+    Bit-identical to the two-gather path: same indices, and the 0 fill
+    unpacks to image 0.0 / label 0 exactly as before.
+
     - "shear": rotation via the in-VMEM Pallas 3-shear roll kernel
       (ops/pallas/rotate.rotate_shear_pallas_lanes) followed by cheap
       flip selects + dynamic-slice crops. A pixel PERMUTATION — exact for
@@ -123,11 +131,21 @@ def augment_pair_batch(
       nearest rotation (sub-pixel choices differ); opt-in
       (Kernel.geometry=shear) pending TPU compile validation."""
     B, H, W = images.shape
+    if packed:
+        assert labels is None and images.dtype == jnp.uint16, (
+            "packed mode takes the uint16 img<<8|label canvas")
+        if geometry != "fused":
+            # non-fused paths rotate arithmetic values: unpack the canvas
+            # upfront and run the ordinary two-tensor pipeline
+            labels = (images & 0xFF).astype(jnp.uint8)
+            images = (images >> 8).astype(jnp.uint8)
+            packed = False
     k_rot, k_v, k_h, k_y, k_x, k_b, k_c = jax.random.split(key, 7)
 
     def to_float(x):
+        was_uint8 = x.dtype == jnp.uint8
         x = x.astype(jnp.float32)
-        return x / 255.0 if images.dtype == jnp.uint8 else x
+        return x / 255.0 if was_uint8 else x
 
     angles = None
     if rotation:
@@ -174,16 +192,22 @@ def augment_pair_batch(
             vals = src[yy, xx]
             return jnp.where(valid, vals, jnp.zeros((), vals.dtype))
 
-        # Gather the RAW store dtype (uint8) and cast only the crop²-sized
-        # output: the gather is the serialized hot op (~13 cycles/element)
-        # and reading 1-byte elements cuts its HBM traffic 4x vs gathering a
-        # pre-cast f32 canvas. Bit-identical: gather∘(x/255) == (gather x)/255
-        # with a 0 fill on both sides.
-        img = to_float(jax.vmap(gather_one)(images, syc, sxc, ok))
-        if labels is not None:
-            lab = jax.vmap(gather_one)(labels, syc, sxc, ok).astype(jnp.int32)
+        # Gather the RAW store dtype (uint8, or uint16 img|label packed) and
+        # cast only the crop²-sized output: the gather is the serialized hot
+        # op (~13 cycles/element) and reading narrow elements cuts its HBM
+        # traffic vs gathering a pre-cast f32 canvas. Bit-identical:
+        # gather∘(x/255) == (gather x)/255 with a 0 fill on both sides, and
+        # the packed 0 fill unpacks to image 0.0 / label 0.
+        if packed:
+            vals = jax.vmap(gather_one)(images, syc, sxc, ok)
+            img = to_float((vals >> 8).astype(jnp.uint8))
+            lab = (vals & 0xFF).astype(jnp.int32)
         else:
-            lab = None
+            img = to_float(jax.vmap(gather_one)(images, syc, sxc, ok))
+            if labels is not None:
+                lab = jax.vmap(gather_one)(labels, syc, sxc, ok).astype(jnp.int32)
+            else:
+                lab = None
     elif geometry in ("shear", "sequential"):
         img = to_float(images)
         lab = labels.astype(jnp.int32) if labels is not None else None

@@ -245,7 +245,14 @@ def displaced_joint_xla_subheads_scan(
     [1, 3]). Scanning serializes the backward to ONE displacement temp plus
     the accumulated input gradient. Zero-padding contributes exact zeros to
     the sums, so values match the sliced formulation (conv zero-padding
-    semantics, iic_loss.py:117-123) bit-for-bit up to summation order."""
+    semantics, iic_loss.py:117-123) bit-for-bit up to summation order.
+
+    The body is wrapped in ``jax.checkpoint``: without it, scan AD stacks the
+    per-iteration sliced view ``a`` as a [T², B, H, W, S, K] f32 residual —
+    12.6 GB at padding 3, B=10 — re-creating the very OOM this path exists
+    to avoid (measured 16.29 G requested on a 15.75 G v5e). Rematerializing
+    the dynamic_slice in the backward costs one extra slice per displacement
+    and caps the residuals at the zero-padded input copy."""
     assert x.ndim == 5 and x.shape == x_tf.shape, (x.shape, x_tf.shape)
     B, H, W, S, K = x.shape
     p = padding
@@ -269,7 +276,7 @@ def displaced_joint_xla_subheads_scan(
         )
         return carry, j
 
-    _, joints = jax.lax.scan(body, 0, offsets)  # [T*T, S, K, K]
+    _, joints = jax.lax.scan(jax.checkpoint(body), 0, offsets)  # [T*T, S, K, K]
     return joints.reshape(T, T, S, K, K)
 
 

@@ -179,6 +179,50 @@ def test_fused_geometry_matches_sequential(rng):
     np.testing.assert_array_equal(np.asarray(lab_f), np.asarray(lab_s))
 
 
+def test_packed_gather_bit_identical(rng):
+    """packed=True (uint16 img<<8|label single gather) is bit-identical to
+    the two-gather fused path for the same key, including the 0 fill and the
+    narrow-window crop logic; non-fused geometries unpack upfront and match
+    their unpacked counterparts too."""
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W, crop = 5, 64, 64, 48
+    imgs = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    labs = rng.integers(0, 4, (B, H, W)).astype(np.uint8)
+    packed = (imgs.astype(np.uint16) << 8) | labs
+    valid_hw = np.tile(np.array([[H, W]], np.int32), (B, 1))
+    valid_hw[0] = (40, 30)
+    offsets = np.zeros((B, 2), np.int32)
+    offsets[0] = (10, 20)
+    key = jax.random.PRNGKey(7)
+    kwargs = dict(crop=crop, valid_hw=jnp.asarray(valid_hw),
+                  offsets=jnp.asarray(offsets))
+    for geometry in ("fused", "sequential"):
+        img_u, lab_u = augment_pair_batch(
+            key, jnp.asarray(imgs), jnp.asarray(labs),
+            geometry=geometry, **kwargs)
+        img_p, lab_p = augment_pair_batch(
+            key, jnp.asarray(packed), None,
+            geometry=geometry, packed=True, **kwargs)
+        np.testing.assert_array_equal(np.asarray(img_u), np.asarray(img_p))
+        np.testing.assert_array_equal(np.asarray(lab_u), np.asarray(lab_p))
+
+
+def test_packed_store_roundtrip(data_root):
+    """DeviceDataStore(pack=True) stages the uint16 plane consistent with
+    its images/labels arrays."""
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data import ACDCDataset
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data.device_pipeline import (
+        DeviceDataStore,
+    )
+
+    store = DeviceDataStore(ACDCDataset(data_root, "train"), pack=True)
+    packed = np.asarray(store.packed)
+    np.testing.assert_array_equal(packed >> 8, np.asarray(store.images))
+    np.testing.assert_array_equal(packed & 0xFF, np.asarray(store.labels))
+
+
 def test_shear_geometry_close_to_sequential(rng):
     """geometry="shear" (Pallas 3-shear rotation, interpret mode on CPU):
     same shapes/dtypes, labels stay integral in-range, and the result is
