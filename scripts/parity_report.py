@@ -54,6 +54,9 @@ def main():
         "(v1-hard, 40 train / 8 val patients, seed 0), identical patient split,",
         "budget and hyperparameters (Adam 1e-7 x400 warmup->cosine, batch 4+10,",
         "UDA mse w=10, IIC w=0.1, subheads 5, clusters 20, paddings [1,3]).",
+        "Budget per run is stated in each section header (torch udaiic costs",
+        "~38 s/step on this 1-core host, so udaiic runs use a reduced but",
+        "identical-on-both-sides epochs x batches budget).",
         "Augmentation RNG streams necessarily differ (python/PIL vs keyed JAX),",
         "so the comparison standard is trajectory agreement within seed noise,",
         "not bit equality.",
@@ -81,17 +84,28 @@ def main():
     for mode, seed in keys:
         t, j = t_runs[(mode, seed)], j_runs[(mode, seed)]
         dev = j.get("device", "cpu")
-        lines += ["", f"### {mode}, seed {seed} (torch: cpu; jax: {dev})", "",
-                  "| epoch | sup_loss torch | sup_loss jax | val_DSC torch | val_DSC jax |",
-                  "|---|---|---|---|---|"]
+        budget = f"{t.get('epochs', '?')}x{t.get('batches', '?')}"
         jr = {r["epoch"]: r for r in j["rows"]}
+
+        def _has_reg(rows):
+            return any(r.get("reg_loss") == r.get("reg_loss") for r in rows)
+
+        with_reg = _has_reg(t["rows"]) and _has_reg(j["rows"])
+        header = "| epoch | sup_loss torch | sup_loss jax "
+        header += "| reg_loss torch | reg_loss jax " if with_reg else ""
+        header += "| val_DSC torch | val_DSC jax |"
+        lines += ["", f"### {mode}, seed {seed} ({budget}; torch: cpu; jax: {dev})", "",
+                  header,
+                  "|---|" + "---|" * (6 if with_reg else 4)]
         for r in t["rows"]:
             e = r["epoch"]
             if e not in jr:
                 continue
-            lines.append(
-                f"| {e} | {r['sup_loss']:.4f} | {jr[e]['sup_loss']:.4f} "
-                f"| {r['val_dsc']:.4f} | {jr[e]['val_dsc']:.4f} |")
+            row = f"| {e} | {r['sup_loss']:.4f} | {jr[e]['sup_loss']:.4f} "
+            if with_reg:
+                row += f"| {r['reg_loss']:.4f} | {jr[e]['reg_loss']:.4f} "
+            row += f"| {r['val_dsc']:.4f} | {jr[e]['val_dsc']:.4f} |"
+            lines.append(row)
 
     lines += ["", "## Summary", "",
               "| mode | seed | best val DSC torch | best val DSC jax | Δ (jax−torch) |",
