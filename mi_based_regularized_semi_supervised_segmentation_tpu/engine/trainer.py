@@ -80,6 +80,28 @@ class SemiTrainer:
         **kwargs,
     ) -> None:
         self._config = configuration
+        # `Trainer.device` exists for config-surface parity with the
+        # reference (`/root/reference/config/semi.yaml:36` `device: cuda`);
+        # here device placement is the JAX platform + mesh, so the key is
+        # accepted but INERT. Warn loudly on non-default values instead of
+        # silently ignoring them (same policy as the Kernel.geometry check).
+        if device not in ("tpu", None):
+            print(f"[trainer] WARNING: Trainer.device={device!r} has no "
+                  "effect — device placement follows the JAX platform and "
+                  "the mesh (Parallel.* / JAX_PLATFORMS), not this key. It "
+                  "is kept only for reference config-surface parity.",
+                  flush=True)
+        # `*.num_workers` sizes the host loader thread pools (data/loader.py)
+        # — the device-data path stages everything into HBM once and never
+        # touches those pools, so a tuned value would be silently inert.
+        if bool((configuration.get("Trainer") or {}).get("device_data", False)):
+            for sect in ("LabeledData", "UnlabeledData"):
+                nw = (configuration.get(sect) or {}).get("num_workers", 4)
+                if int(nw) != 4:
+                    print(f"[trainer] WARNING: {sect}.num_workers={nw} has "
+                          "no effect with Trainer.device_data: true — data "
+                          "is staged into device memory once and the host "
+                          "loader thread pools are bypassed.", flush=True)
         self._labeled_loader = labeled_loader
         self._unlabeled_loader = unlabeled_loader
         self._val_loader = val_loader

@@ -84,11 +84,17 @@ def main():
     for mode, seed in keys:
         t, j = t_runs[(mode, seed)], j_runs[(mode, seed)]
         dev = j.get("device", "cpu")
-        budget = f"{t.get('epochs', '?')}x{t.get('batches', '?')}"
+        t_budget = f"{t.get('epochs', '?')}x{t.get('batches', '?')}"
+        j_budget = f"{j.get('epochs', '?')}x{j.get('batches', '?')}"
+        budget = (t_budget if t_budget == j_budget
+                  else f"torch {t_budget} vs jax {j_budget} DIFFERENT (!)")
         jr = {r["epoch"]: r for r in j["rows"]}
 
         def _has_reg(rows):
-            return any(r.get("reg_loss") == r.get("reg_loss") for r in rows)
+            # NaN-safe presence check: missing key counts as no-reg (a row
+            # without the key would otherwise give None == None -> True).
+            return any("reg_loss" in r and r["reg_loss"] == r["reg_loss"]
+                       for r in rows)
 
         with_reg = _has_reg(t["rows"]) and _has_reg(j["rows"])
         header = "| epoch | sup_loss torch | sup_loss jax "
