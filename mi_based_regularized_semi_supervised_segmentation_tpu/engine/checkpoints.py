@@ -57,3 +57,55 @@ def load_checkpoint(
         with open(meta_path) as f:
             meta = json.load(f)
     return state, meta
+
+
+def _flatten_tree(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, prefix + (str(k),)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def lenient_load_checkpoint(
+    path: str | Path, template: TrainState
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """strict=False load: merge leaves by path where shapes match — the
+    reference tolerated missing keys when fine-tuning from a different
+    trainer's checkpoint (WHEEL::deepclustering2/trainer/_io.py:170-171).
+    ``path``: checkpoint file or run directory (-> last.ckpt)."""
+    from flax import serialization as _ser
+
+    import numpy as np
+
+    p = Path(path)
+    if p.is_dir():
+        p = p / LAST_NAME
+    with open(p, "rb") as f:
+        raw = _ser.msgpack_restore(f.read())
+    flat_raw = _flatten_tree(raw)
+    template = jax.device_get(template)
+    state_dict = _ser.to_state_dict(template)
+    # overlay matching leaves onto the template structure (preserves
+    # empty-dict nodes that a flatten/unflatten round trip would drop)
+    for key, raw_val in flat_raw.items():
+        node = state_dict
+        ok = True
+        for part in key[:-1]:
+            if not isinstance(node, dict) or part not in node:
+                ok = False
+                break
+            node = node[part]
+        if not ok or not isinstance(node, dict) or key[-1] not in node:
+            continue
+        tpl_val = node[key[-1]]
+        if np.shape(raw_val) == np.shape(tpl_val):
+            node[key[-1]] = raw_val
+    state = _ser.from_state_dict(template, state_dict)
+    meta_path = p.with_suffix(".meta.json")
+    meta: Dict[str, Any] = {}
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+    return state, meta

@@ -730,39 +730,9 @@ class SemiTrainer:
         """strict=False: merge leaves by path where shapes match (the
         reference tolerated missing keys when fine-tuning from a different
         trainer's checkpoint, _io.py:170-171)."""
-        import json
+        from .checkpoints import lenient_load_checkpoint
 
-        from flax import serialization
-
-        p = Path(path)
-        if p.is_dir():
-            p = p / LAST_NAME
-        with open(p, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
-        flat_raw = _flatten_tree(raw)
-        template = jax.device_get(self._state)
-        state_dict = serialization.to_state_dict(template)
-        # overlay matching leaves onto the template structure (preserves
-        # empty-dict nodes that a flatten/unflatten round trip would drop)
-        for key, raw_val in flat_raw.items():
-            node = state_dict
-            ok = True
-            for part in key[:-1]:
-                if not isinstance(node, dict) or part not in node:
-                    ok = False
-                    break
-                node = node[part]
-            if not ok or not isinstance(node, dict) or key[-1] not in node:
-                continue
-            tpl_val = node[key[-1]]
-            if np.shape(raw_val) == np.shape(tpl_val):
-                node[key[-1]] = raw_val
-        state = serialization.from_state_dict(template, state_dict)
-        meta_path = p.with_suffix(".meta.json")
-        meta = {}
-        if meta_path.exists():
-            meta = json.loads(meta_path.read_text())
-        return state, meta
+        return lenient_load_checkpoint(path, self._state)
 
     # --- inference ------------------------------------------------------
     def inference(self, checkpoint: Optional[str] = None) -> Tuple[Dict[str, Any], float]:
@@ -832,16 +802,6 @@ class SemiTrainer:
             write_predict(pred, self._save_dir, batch["filename"])
         report = meters.tracking_status()
         return report, report["dice"]["DSC_mean"]
-
-
-def _flatten_tree(tree, prefix=()):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten_tree(v, prefix + (str(k),)))
-    else:
-        out[prefix] = tree
-    return out
 
 
 class UDATrainer(SemiTrainer):

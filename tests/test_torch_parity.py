@@ -276,8 +276,13 @@ def test_supcon_parity(ref, rng, kind):
 
 def _port_weights(tmodel, params, batch_stats):
     """Copy torch UNet weights into the flax param/batch_stats trees.
-    torch conv [out,in,kh,kw] -> flax [kh,kw,in,out]."""
-    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    torch conv [out,in,kh,kw] -> flax [kh,kw,in,out].
+
+    np.array(...) (not a bare .numpy() view): on the CPU backend jnp.asarray
+    can alias a numpy buffer zero-copy, and .numpy() shares memory with the
+    torch tensor — a later in-place torch opt.step() would silently mutate
+    the \"snapshot\" (bit us in the full-step parity test)."""
+    sd = {k: np.array(v.detach().numpy()) for k, v in tmodel.state_dict().items()}
 
     def conv_k(name):
         return np.transpose(sd[name], (2, 3, 1, 0))
@@ -465,3 +470,222 @@ def test_global_cluster_head_chain_parity(ref, ref_heads, rng):
     per = jax.vmap(lambda a, b: iid_loss(a, b)[0], in_axes=(1, 1))(p1, p2)
     np.testing.assert_allclose(float(jnp.mean(per)), float(ref_loss),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ONE FULL TRAIN STEP: loss + post-Adam param deltas + BN running stats
+# (VERDICT r4 item 2 — converts "losses match" into "training matches")
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_udaiic_train_step_parity(ref, ref_heads, rng):
+    """Port torch-initialized UNet + cluster-head weights into the flax
+    state, feed the SAME fixed batch with the SAME flip mask, run ONE udaiic
+    step in the reference epocher semantics (semi_seg/epocher.py:137-188:
+    concat forward, sup KL, UDA MSE, IIC global/local MI through the heads,
+    torch.optim.Adam with grad-added weight decay) and one build_train_step
+    step (fp32, backend='xla'), and assert losses, post-Adam parameter
+    deltas, and updated BN running statistics agree.
+
+    Tolerances: losses rtol 2e-4 (fp32 accumulation order across the whole
+    fwd). Adam's step-1 update is -lr*g/(|g|+eps) ~ -lr*sign(g), so where a
+    gradient element's magnitude is near fp32 noise the two sides may step
+    opposite directions by up to 2*lr; the assertion is therefore two-tier:
+    every element within 2.05*lr (no divergence beyond the Adam step bound)
+    and 99.5% of elements within 0.05*lr (the bulk matches tightly). BN
+    running stats compare to atol 1e-4 (flax uses biased batch var in the
+    running update, torch unbiased: relative gap 1/(n-1) ~ 4e-5 at n=24*32*32
+    elements/channel)."""
+    import torch.nn.functional as F
+    from itertools import chain as _chain
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+        build_optimizer,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.state import (
+        init_train_state,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.steps import (
+        build_train_step,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models import (
+        ProjectorWrapper,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.ops.flips import (
+        sample_flip_mask,
+    )
+
+    CROP, BL, BU, S, K, C = 32, 4, 10, 2, 4, 4
+    LR, WD = 1e-3, 1e-5
+    FEATS = ["Conv5", "Up_conv3", "Up_conv2"]
+    FEAT_DIMS = {"Conv5": 256, "Up_conv3": 32, "Up_conv2": 16}
+    IMPORTANCE = [1.0, 0.5, 0.5]
+    PADDINGS, PATCH = [1, 3], 1024
+    UDA_W, IIC_W = 10.0, 0.1
+
+    # --- shared fixed inputs -------------------------------------------
+    lab = rng.random((BL, CROP, CROP, 1)).astype(np.float32)
+    lab_t = rng.integers(0, C, (BL, CROP, CROP)).astype(np.int64)
+    unlab = rng.random((BU, CROP, CROP, 1)).astype(np.float32)
+
+    # --- torch side: reference modules, epocher-exact wiring ------------
+    torch.manual_seed(3)
+    tmodel = ref.unet.UNet(input_dim=1, num_classes=C)
+    tmodel.train()
+    t_heads = {
+        "Conv5": ref_heads.ClusterHead(
+            input_dim=FEAT_DIMS["Conv5"], num_clusters=K, num_subheads=S,
+            head_type="linear", T=1, normalize=False),
+        "Up_conv3": ref_heads.LocalClusterHead(
+            input_dim=FEAT_DIMS["Up_conv3"], head_type="linear",
+            num_clusters=K, num_subheads=S, T=1, normalize=False),
+        "Up_conv2": ref_heads.LocalClusterHead(
+            input_dim=FEAT_DIMS["Up_conv2"], head_type="linear",
+            num_clusters=K, num_subheads=S, T=1, normalize=False),
+    }
+    criteria = {"Conv5": lambda a, b: ref.iic.IIDLoss()(a, b)[0],
+                "Up_conv3": ref.iic.IIDSegmentationSmallPathLoss(
+                    padding=PADDINGS[0], patch_size=PATCH),
+                "Up_conv2": ref.iic.IIDSegmentationSmallPathLoss(
+                    padding=PADDINGS[1], patch_size=PATCH)}
+
+    # --- jax side: ported state, the real train step --------------------
+    model = UNet(input_dim=1, num_classes=C)
+    projector = ProjectorWrapper(
+        feature_names=tuple(FEATS), num_clusters=K, num_subheads=S,
+        head_types="linear", normalize=False)
+    tx = build_optimizer({"name": "Adam", "lr": LR, "weight_decay": WD})
+    state = init_train_state(model, tx, (1, CROP, CROP, 1), seed=0,
+                             projector=projector,
+                             projector_feature_names=FEATS)
+    params0_m, stats0 = _port_weights(
+        tmodel, state.params["model"], state.batch_stats)
+
+    def port_heads():
+        proj = {}
+        for name in FEATS:
+            dim = FEAT_DIMS[name]
+            kernel = np.zeros((dim, S * K), np.float32)
+            bias = np.zeros((S * K,), np.float32)
+            for s, sub in enumerate(t_heads[name]._headers):
+                lin = sub[2] if name == "Conv5" else sub[0]
+                w = lin.weight.detach().numpy()
+                w = w if name == "Conv5" else w[:, :, 0, 0]
+                kernel[:, s * K:(s + 1) * K] = w.T
+                bias[s * K:(s + 1) * K] = lin.bias.detach().numpy()
+            entry = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}
+            proj[name] = {"linear": entry} if name == "Conv5" else entry
+        return proj
+
+    params0 = {"model": params0_m, "projector": port_heads()}
+    state = state.replace(params=params0, batch_stats=stats0,
+                          opt_state=tx.init(params0))
+
+    # the flip mask the jax step will draw from its rng — replicated exactly
+    _, flip_key = jax.random.split(state.rng)
+    mask = np.asarray(sample_flip_mask(flip_key, BU, 0.8))  # [BU, 2] bool
+
+    def t_flips(x):
+        """apply_flips for NCHW torch tensors (H=dim2, W=dim3)."""
+        out = []
+        for i in range(x.shape[0]):
+            xi = x[i]
+            if mask[i, 0]:
+                xi = torch.flip(xi, dims=[1])
+            if mask[i, 1]:
+                xi = torch.flip(xi, dims=[2])
+            out.append(xi)
+        return torch.stack(out)
+
+    # --- ONE reference step (epocher.py:137-188) ------------------------
+    opt = torch.optim.Adam(
+        _chain(tmodel.parameters(),
+               *(h.parameters() for h in t_heads.values())),
+        lr=LR, weight_decay=WD)
+    t_lab = torch.tensor(np.moveaxis(lab, -1, 1))
+    t_unlab = torch.tensor(np.moveaxis(unlab, -1, 1))
+    t_unlab_tf = t_flips(t_unlab)
+    t_target = torch.tensor(lab_t)
+
+    logits, (e5, e4, e3, e2, e1), (d5, d4, d3, d2) = tmodel(
+        torch.cat([t_lab, t_unlab, t_unlab_tf], dim=0), return_features=True)
+    feats_t = {"Conv5": e5, "Up_conv3": d3, "Up_conv2": d2}
+    lab_logits, unlab_logits, unlab_tf_logits = torch.split(
+        logits, [BL, BU, BU], dim=0)
+    unlab_logits_tf = t_flips(unlab_logits)
+    onehot = F.one_hot(t_target, C).permute(0, 3, 1, 2).float()
+    sup_loss_t = ref.kl.KL_div()(lab_logits.softmax(1), onehot)
+    uda_loss_t = torch.nn.MSELoss()(unlab_tf_logits.softmax(1),
+                                    unlab_logits_tf.softmax(1).detach())
+    iic_losses_t = []
+    for name in FEATS:
+        feat = feats_t[name]
+        u = feat[feat.shape[0] - 2 * BU:]
+        u_plain, u_tf = torch.chunk(u, 2, dim=0)
+        u_plain_tf = u_plain if name == "Conv5" else t_flips(u_plain)
+        probs = t_heads[name](torch.cat([u_plain_tf, u_tf], dim=0))
+        pairs = [torch.chunk(p, 2, 0) for p in probs]
+        iic_losses_t.append(
+            sum(criteria[name](a, b) for a, b in pairs) / S)
+    wsum = sum(IMPORTANCE)
+    iic_loss_t = sum(w * x for w, x in zip(IMPORTANCE, iic_losses_t)) / wsum
+    total_t = sup_loss_t + 1.0 * (UDA_W * uda_loss_t + IIC_W * iic_loss_t)
+    opt.zero_grad()
+    total_t.backward()
+    opt.step()
+
+    # --- ONE framework step ---------------------------------------------
+    step = build_train_step(
+        model, tx, "udaiic", num_classes=C, feature_names=FEATS,
+        feature_importance=IMPORTANCE, projector=projector, backend="xla",
+        uda_criterion="mse", uda_weight=UDA_W, iic_weight=IIC_W,
+        reg_weight=1.0, paddings=PADDINGS, patch_sizes=PATCH)
+    batch = {"labeled_image": jnp.asarray(lab),
+             "labeled_target": jnp.asarray(lab_t),
+             "unlabeled_image": jnp.asarray(unlab)}
+    # the jitted step donates the state: snapshot host copies first
+    params0 = jax.device_get(params0)
+    stats0 = jax.device_get(stats0)
+    state2, metrics = step(state, batch)
+
+    # --- losses ----------------------------------------------------------
+    np.testing.assert_allclose(float(metrics["sup_loss"]), float(sup_loss_t),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(metrics["uda"]), float(uda_loss_t),
+                               rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(float(-metrics["mi"]), float(iic_loss_t),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(metrics["total_loss"]), float(total_t),
+                               rtol=2e-4)
+
+    # --- post-Adam parameter deltas ---------------------------------------
+    params1_m_t, stats1_t = _port_weights(
+        tmodel, params0["model"], stats0)
+    params1_t = {"model": params1_m_t, "projector": port_heads()}
+    flat0 = jax.tree_util.tree_leaves_with_path(params0)
+    flat1_t = dict(jax.tree_util.tree_leaves_with_path(params1_t))
+    flat1_j = dict(jax.tree_util.tree_leaves_with_path(
+        jax.device_get(state2.params)))
+    worst, n_tot, n_loose = 0.0, 0, 0
+    for path, p0 in flat0:
+        d_t = np.asarray(flat1_t[path]) - np.asarray(p0)
+        d_j = np.asarray(flat1_j[path]) - np.asarray(p0)
+        diff = np.abs(d_j - d_t)
+        worst = max(worst, float(diff.max()))
+        n_tot += diff.size
+        n_loose += int((diff > 0.05 * LR).sum())
+        assert diff.max() <= 2.05 * LR, (
+            f"{jax.tree_util.keystr(path)}: max delta diff {diff.max():.2e} "
+            f"exceeds the Adam step bound")
+    assert n_loose / n_tot < 0.005, (
+        f"{n_loose}/{n_tot} param elements step differently by >0.05*lr "
+        f"(worst {worst:.2e})")
+
+    # --- BN running stats -------------------------------------------------
+    stats1_t_tree = stats1_t
+    for path, v_t in jax.tree_util.tree_leaves_with_path(stats1_t_tree):
+        v_j = dict(jax.tree_util.tree_leaves_with_path(
+            jax.device_get(state2.batch_stats)))[path]
+        np.testing.assert_allclose(
+            np.asarray(v_j), np.asarray(v_t), rtol=1e-4, atol=1e-4,
+            err_msg=f"batch_stats {jax.tree_util.keystr(path)}")
