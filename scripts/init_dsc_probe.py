@@ -1,0 +1,182 @@
+"""Root-cause probe for the flat jax udaiic val-DSC in the 3x8 parity runs
+(VERDICT r4 item 3): at lr 1e-7 with x400 warmup over 10 epochs, a 3-epoch
+budget reaches lr <= 1.3e-5 and the parameters barely move, so "best val
+DSC" measures the UNTRAINED initialization, not training. This script makes
+that quantitative on the identical parity fixture:
+
+- evaluates the val-set DSC of the INIT model (epoch "-1", zero steps) for
+  several seeds on BOTH sides (torch reference UNet init vs flax init);
+- prints the per-class argmax share of the init predictions (is the argmax
+  collapsing to one class?);
+- prints the parameter-movement bound for the 3x8 budget: sum of per-step
+  lr over 24 Adam steps (|Adam update| <= lr/step), vs typical init weight
+  scale.
+
+Usage:
+    python scripts/init_dsc_probe.py [--seeds 10 20 30] [--out docs/study_r05/init_dsc_probe.md]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+def jax_side(seeds, data_root):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", str(REPO / "tests" / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from capability_study import build_config
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
+        create_val_loader,
+        get_dataloaders,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+        build_optimizer,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.state import (
+        init_train_state,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.steps import (
+        build_eval_step,
+        dice_stats,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models import UNet
+    from mi_based_regularized_semi_supervised_segmentation_tpu.utils import set_seed
+
+    cfg = build_config("udaiic", 10, "probe", 3, 8, precision="float32")
+    _, unlabeled, test = get_dataloaders(cfg, data_root=data_root)
+    val = create_val_loader(unlabeled, test)
+    model = UNet(input_dim=1, num_classes=4)
+    tx = build_optimizer({"name": "Adam", "lr": 1e-7})
+    eval_step = build_eval_step(model, num_classes=4, jit=True)
+
+    rows = []
+    for seed in seeds:
+        set_seed(seed)
+        state = init_train_state(model, tx, (1, 224, 224, 1), seed=seed)
+        inter = np.zeros((1, 4))
+        union = np.zeros((1, 4))
+        hist = np.zeros(4)
+        for batch in val:
+            img = jnp.asarray(batch["image"])
+            tgt = jnp.asarray(batch["target"])
+            mask = jnp.ones((img.shape[0],), jnp.float32)
+            out = eval_step(state.params, state.batch_stats, img, tgt, mask)
+            inter += np.asarray(out["inter"])
+            union += np.asarray(out["union"])
+            pred = np.asarray(out["pred"])
+            hist += np.bincount(pred.ravel(), minlength=4)
+        dsc = 2.0 * inter[0, 1:] / np.maximum(union[0, 1:], 1e-8)
+        rows.append({"framework": "jax", "seed": seed,
+                     "init_val_dsc": float(dsc.mean()),
+                     "per_class_dsc": np.round(dsc, 4).tolist(),
+                     "argmax_share": np.round(hist / hist.sum(), 4).tolist()})
+        print(rows[-1], flush=True)
+    return rows
+
+
+def torch_side(seeds, data_root):
+    import torch
+
+    from torch_oracle import build_config, install_shims, prepare_tree
+
+    prepare_tree()
+    install_shims()
+
+    from deepclustering2.utils import set_benchmark
+    from contrastyou.arch import UNet
+    from semi_seg.dataloader_helper import get_dataloaders, create_val_loader
+
+    cfg = build_config("udaiic", 10, 3, 8)
+    _, unlabeled_loader, test_loader = get_dataloaders(cfg)
+    val_loader = create_val_loader(unlabeled_loader, test_loader)
+
+    rows = []
+    for seed in seeds:
+        set_benchmark(seed)
+        model = UNet(input_dim=1, num_classes=4)
+        model.eval()
+        inter = np.zeros(4)
+        union = np.zeros(4)
+        hist = np.zeros(4)
+        with torch.no_grad():
+            for data in val_loader:
+                img, tgt = data[0][0], data[0][1]
+                logits = model(img)
+                pred = logits.argmax(1)
+                hist += np.bincount(pred.numpy().ravel(), minlength=4)
+                for c in range(4):
+                    p = (pred == c).float()
+                    t = (tgt.squeeze(1) == c).float()
+                    inter[c] += float((p * t).sum())
+                    union[c] += float(p.sum() + t.sum())
+        dsc = 2.0 * inter[1:] / np.maximum(union[1:], 1e-8)
+        rows.append({"framework": "torch", "seed": seed,
+                     "init_val_dsc": float(dsc.mean()),
+                     "per_class_dsc": np.round(dsc, 4).tolist(),
+                     "argmax_share": np.round(hist / hist.sum(), 4).tolist()})
+        print(rows[-1], flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="*", default=[10, 20, 30, 42, 7])
+    ap.add_argument("--side", choices=["jax", "torch", "both"], default="both")
+    ap.add_argument("--data-root", default="/tmp/parity_data")
+    ap.add_argument("--out", default="runs/init_dsc_probe.jsonl")
+    args = ap.parse_args()
+
+    # same fixture as the parity runs
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data.synthetic import (
+        generate_synthetic_acdc,
+    )
+
+    generate_synthetic_acdc(args.data_root, num_train_patients=40,
+                            num_val_patients=8, slices_per_patient=10,
+                            size=256, hard=True, seed=0)
+
+    rows = []
+    if args.side in ("torch", "both"):
+        rows += torch_side(args.seeds, args.data_root)
+    if args.side in ("jax", "both"):
+        rows += jax_side(args.seeds, args.data_root)
+
+    # parameter-movement bound at the 3x8 parity budget
+    lrs = []
+    from capability_study import build_config  # noqa: F401 (path check)
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+        lr_at_epoch,
+    )
+
+    for e in range(3):
+        lrs += [lr_at_epoch(e, 1e-7, 400, 10, 100)] * 8
+    bound = float(np.sum(lrs))
+    print(f"[probe] 3x8 Adam |Δparam| upper bound = sum(lr) = {bound:.3e} "
+          f"(vs conv-weight init scale ~1e-1): training CANNOT separate the "
+          f"two sides at this budget; best-val-DSC measures the init.",
+          flush=True)
+
+    out = REPO / args.out
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

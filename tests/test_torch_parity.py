@@ -682,10 +682,23 @@ def test_full_udaiic_train_step_parity(ref, ref_heads, rng):
         f"(worst {worst:.2e})")
 
     # --- BN running stats -------------------------------------------------
-    stats1_t_tree = stats1_t
-    for path, v_t in jax.tree_util.tree_leaves_with_path(stats1_t_tree):
-        v_j = dict(jax.tree_util.tree_leaves_with_path(
-            jax.device_get(state2.batch_stats)))[path]
-        np.testing.assert_allclose(
-            np.asarray(v_j), np.asarray(v_t), rtol=1e-4, atol=1e-4,
-            err_msg=f"batch_stats {jax.tree_util.keystr(path)}")
+    # running means must agree tightly; running VARS differ by exactly the
+    # torch-unbiased vs flax-biased batch-variance convention: the one-step
+    # update gap is 0.1 * var_batch / (n-1), n = B*H*W elements per channel
+    # (<= ~5e-4 at this test's 2x2 bottleneck, <= 1e-6 at the flagship 224²).
+    flat_j_stats = dict(jax.tree_util.tree_leaves_with_path(
+        jax.device_get(state2.batch_stats)))
+    for path, v_t in jax.tree_util.tree_leaves_with_path(stats1_t):
+        v_j = np.asarray(flat_j_stats[path])
+        v_t = np.asarray(v_t)
+        key = jax.tree_util.keystr(path)
+        if "mean" in key:
+            np.testing.assert_allclose(v_j, v_t, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"batch_stats {key}")
+        else:
+            # bound the gap by the bias-convention term at the smallest
+            # spatial plane in this test (2x2 -> n=96) plus fp32 noise
+            bias_bound = 0.1 * np.maximum(np.abs(v_t), 1.0) / (96 - 1)
+            assert np.all(np.abs(v_j - v_t) <= bias_bound + 1e-5), (
+                f"batch_stats {key}: max gap {np.abs(v_j - v_t).max():.2e} "
+                f"exceeds the biased/unbiased-var bound")
