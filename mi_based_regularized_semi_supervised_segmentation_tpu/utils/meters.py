@@ -522,6 +522,157 @@ class MSEMeter(_Metric):
         return {"rmse" if self._root else "mse": self.value()}
 
 
+class IoUMeter(_Metric):
+    """Confusion-matrix-driven IoU family (the wheel's leftover ``IoU`` meter,
+    WHEEL::deepclustering2/meters2/individual_meters/iou.py:9-134): per-class
+    IoU plus Overall_Acc / Mean_Acc / FreqW_Acc / Mean_IoU /
+    Validated_Mean_IoU (mean over classes that appear in the ground truth).
+    ``add`` accepts [N, H, W] int labels or [N, K, H, W] class scores for the
+    prediction (argmax over axis 1), matching the wheel's input contract."""
+
+    def __init__(self, num_classes: int, normalized: bool = False,
+                 ignore_index=255, report_axis=None) -> None:
+        self._k = int(num_classes)
+        if ignore_index is None:
+            self._ignore = ()
+        elif isinstance(ignore_index, int):
+            self._ignore = (ignore_index,)
+        else:
+            self._ignore = tuple(ignore_index)
+        self._report_axis = (list(range(self._k)) if report_axis is None
+                             else list(report_axis))
+        self._conf = ConfusionMeter(self._k, normalized=normalized)
+
+    def reset(self) -> None:
+        self._conf.reset()
+
+    def add(self, predicted, target) -> None:
+        predicted = np.asarray(predicted)
+        target = np.asarray(target)
+        assert predicted.ndim in (3, 4), predicted.shape
+        if predicted.ndim == 4:
+            predicted = predicted.argmax(axis=1)
+        assert predicted.shape == target.shape, (predicted.shape, target.shape)
+        p = predicted.reshape(-1)
+        t = target.reshape(-1).astype(np.int64)
+        keep = (t >= 0) & (t < self._k)
+        for ig in self._ignore:
+            keep &= t != ig
+        self._conf.add(p[keep], t[keep])
+
+    def value(self) -> Dict[str, Any]:
+        hist = self._conf._conf.astype(np.float64)
+        total = max(hist.sum(), 1.0)
+        acc = float(np.trace(hist) / total)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            acc_cls = float(np.nanmean(np.diag(hist) / hist.sum(axis=1)))
+        iu = (np.diag(hist) + 1e-16) / (
+            hist.sum(axis=1) + hist.sum(axis=0) - np.diag(hist) + 1e-16)
+        valid = hist.sum(axis=1) > 0
+        freq = hist.sum(axis=1) / total
+        return {
+            "Overall_Acc": acc,
+            "Mean_Acc": acc_cls,
+            "FreqW_Acc": float((freq[freq > 0] * iu[freq > 0]).sum()),
+            "Validated_Mean_IoU": float(np.nanmean(iu[valid])) if valid.any()
+            else float("nan"),
+            "Mean_IoU": float(np.nanmean(iu)),
+            "Class_IoU": iu.astype(np.float32),
+        }
+
+    def summary(self) -> Dict[str, float]:
+        values = self.value()["Class_IoU"]
+        return {f"{k}": float(values[k]) for k in self._report_axis}
+
+
+def cohen_kappa(y1, y2) -> float:
+    """Cohen's kappa from two label sequences: (p_o - p_e) / (1 - p_e)
+    computed on their joint confusion matrix (replaces the wheel's
+    sklearn.metrics.cohen_kappa_score dependency, kappa.py:28)."""
+    y1 = np.asarray(y1).reshape(-1).astype(np.int64)
+    y2 = np.asarray(y2).reshape(-1).astype(np.int64)
+    assert y1.shape == y2.shape, (y1.shape, y2.shape)
+    labels = np.unique(np.concatenate([y1, y2]))
+    lut = np.zeros(int(labels.max()) + 1, np.int64)
+    lut[labels] = np.arange(len(labels))
+    k = len(labels)
+    conf = np.bincount(lut[y1] * k + lut[y2], minlength=k * k).reshape(k, k)
+    n = conf.sum()
+    if n == 0:
+        return float("nan")
+    po = np.trace(conf) / n
+    pe = float((conf.sum(0) * conf.sum(1)).sum()) / (n * n)
+    if pe == 1.0:
+        return 0.0
+    return float((po - pe) / (1.0 - pe))
+
+
+class KappaMetrics(_Metric):
+    """Cohen kappa of each predictor against the target, restricted to
+    pixels whose ground truth is in ``considered_classes``
+    (WHEEL::deepclustering2/meters2/individual_meters/kappa.py:10-41)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self._kappas: List[List[float]] = []
+
+    def add(self, predicts, target, considered_classes) -> None:
+        target = np.asarray(target).reshape(-1)
+        mask = np.isin(target, list(considered_classes))
+        self._kappas.append([
+            cohen_kappa(np.asarray(p).reshape(-1)[mask], target[mask])
+            for p in predicts])
+
+    def value(self) -> np.ndarray:
+        return np.asarray(self._kappas, np.float64).mean(axis=0)
+
+    def summary(self) -> Dict[str, float]:
+        v = self.value()
+        return {f"kappa{i}": float(v[i]) for i in range(len(v))}
+
+
+class Kappa2Annotator(KappaMetrics):
+    """Inter-annotator kappa between two predictions on gt-masked pixels
+    (WHEEL kappa.py:44-69)."""
+
+    def add(self, predict1, predict2, gt=None, considered_classes=(1, 2, 3)):
+        p1 = np.asarray(predict1).reshape(-1)
+        p2 = np.asarray(predict2).reshape(-1)
+        assert p1.shape == p2.shape
+        if considered_classes is not None and gt is not None:
+            mask = np.isin(np.asarray(gt).reshape(-1), list(considered_classes))
+            p1, p2 = p1[mask], p2[mask]
+        self._kappas.append([cohen_kappa(p1, p2)])
+
+    def value(self) -> float:
+        return float(np.asarray(self._kappas, np.float64).mean())
+
+    def summary(self) -> Dict[str, float]:
+        return {"kappa": self.value()}
+
+
+class InstanceValue(_Metric):
+    """Pass-through holder for a single instance value
+    (WHEEL::deepclustering2/meters2/individual_meters/instance.py:7-25)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.instance_value = None
+
+    def add(self, value) -> None:
+        self.instance_value = value
+
+    def value(self):
+        return self.instance_value
+
+    def summary(self) -> Dict[str, float]:
+        return {"value": self.instance_value}
+
+
 class MeterInterface:
     """Per-epoch registry of named meters."""
 
