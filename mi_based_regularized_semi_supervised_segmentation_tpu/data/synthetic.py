@@ -17,11 +17,32 @@ from typing import Dict
 import numpy as np
 
 
-def _patient_style(rng: np.random.Generator, hard: bool):
+def _patient_style(rng: np.random.Generator, hard: bool, v3: bool = False):
     """Per-patient appearance: intensity levels, scale, elliptic deformation,
     noise. In ``hard`` mode styles vary widely across patients, so a model
     trained on 2 labeled patients must generalize — the regime where the
-    unlabeled regularizers matter."""
+    unlabeled regularizers matter.
+
+    ``v3`` (VERDICT r4 item 9 — headroom fixture): class intensity OFFSETS
+    are drawn from one shared near-zero range, so the per-patient intensity
+    ORDERING of ring/cavity/RV vs background is effectively random — a model
+    trained on 2 labeled patients cannot learn a transferable intensity->
+    class mapping. The v2 fine texture (fixed-amplitude radial fibers /
+    speckle / mottle, class-diagnostic across ALL patients) stays the one
+    reliable cue, i.e. exactly the kind of augmentation-stable,
+    patient-invariant feature the MI/consistency regularizers reward."""
+    if v3:
+        return dict(
+            bg=rng.uniform(0.30, 0.50),
+            ring=rng.uniform(-0.10, 0.16),
+            cavity=rng.uniform(-0.10, 0.16),
+            rv=rng.uniform(-0.10, 0.16),
+            noise=rng.uniform(0.04, 0.09),
+            r_scale=rng.uniform(0.7, 1.3),
+            ecc=rng.uniform(0.75, 1.3),
+            rot=rng.uniform(0, np.pi),
+            texture=rng.uniform(0.0, 0.10),
+        )
     if not hard:
         return dict(bg=0.25, ring=0.2, cavity=0.5, rv=0.25, noise=0.03,
                     r_scale=1.0, ecc=1.0, rot=0.0, texture=0.0)
@@ -39,7 +60,7 @@ def _patient_style(rng: np.random.Generator, hard: bool):
 
 
 def _phantom(rng: np.random.Generator, size: int, num_classes: int, style=None,
-             v2: bool = False):
+             v2: bool = False, v3: bool = False):
     """A ring phantom: background, myocardium ring, LV cavity, RV blob.
 
     v2 adds CROSS-SCALE anatomical structure (VERDICT r2 item 5 — the v1
@@ -51,7 +72,11 @@ def _phantom(rng: np.random.Generator, size: int, num_classes: int, style=None,
       intensities are ambiguous;
     - multi-scale boundary detail: the ring radius is modulated by angular
       harmonics (k = 3, 5, 8) with per-slice phases, so boundary shape has
-      structure at several spatial scales."""
+      structure at several spatial scales.
+
+    v3 implies the v2 texture (it IS the reliable cue there) — see
+    _patient_style for the v3 intensity-ambiguity design."""
+    v2 = v2 or v3
     style = style or _patient_style(rng, hard=False)
     yy, xx = np.indices((size, size))
     cy = size / 2 + rng.uniform(-size / 8, size / 8)
@@ -121,9 +146,12 @@ def generate_synthetic_acdc(
     seed: int = 0,
     hard: bool = False,
     v2: bool = False,
+    v3: bool = False,
 ) -> str:
     """Writes the dataset; returns ``root``. Idempotent (skips if present).
-    ``v2`` adds cross-scale class-diagnostic texture (see _phantom)."""
+    ``v2`` adds cross-scale class-diagnostic texture (see _phantom); ``v3``
+    additionally randomizes the per-patient class-intensity ordering so only
+    the texture cue transfers across patients (headroom fixture)."""
     from PIL import Image
 
     base = Path(root) / "ACDC_contrast"
@@ -141,9 +169,9 @@ def generate_synthetic_acdc(
             frame = 1
             group = f"patient{patient_id:03d}_{frame:02d}"
             acdc_info[group] = slices_per_patient
-            style = _patient_style(rng, hard)
+            style = _patient_style(rng, hard, v3=v3)
             for s in range(slices_per_patient):
-                img, gt = _phantom(rng, size, num_classes, style, v2=v2)
+                img, gt = _phantom(rng, size, num_classes, style, v2=v2, v3=v3)
                 stem = f"{group}_{s:02d}"
                 Image.fromarray(img, mode="L").save(base / mode / "img" / f"{stem}.png")
                 Image.fromarray(gt, mode="L").save(base / mode / "gt" / f"{stem}.png")

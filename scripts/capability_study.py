@@ -72,9 +72,12 @@ def main():
     ap.add_argument("--batches", type=int, default=None)
     ap.add_argument("--seeds", type=int, nargs="*", default=None)
     ap.add_argument("--modes", nargs="*", default=None)
-    ap.add_argument("--fixture", choices=["v1", "v2"], default="v1",
+    ap.add_argument("--fixture", choices=["v1", "v2", "v3"], default="v1",
                     help="v2: cross-scale class-diagnostic texture so the "
-                         "local-MI term has real signal (VERDICT r2 item 5)")
+                         "local-MI term has real signal (VERDICT r2 item 5); "
+                         "v3: v2 texture + randomized per-patient intensity "
+                         "ordering — partial supervision underfits harder "
+                         "(VERDICT r4 item 9 headroom fixture)")
     ap.add_argument("--stem", choices=["conv", "s2d"], default="conv",
                     help="s2d: experimental space-to-depth stem "
                          "(capability spot-check for the conv-floor lever)")
@@ -148,11 +151,12 @@ def main():
 
     # HARD fixture: 40 train patients (5% labels = 2 patients), noisy
     # low-contrast phantoms — partial supervision underfits here.
-    default_root = "/tmp/study_data" if args.fixture == "v1" else "/tmp/study_data_v2"
+    default_root = {"v1": "/tmp/study_data", "v2": "/tmp/study_data_v2",
+                    "v3": "/tmp/study_data_v3"}[args.fixture]
     data_root = os.environ.get("STUDY_DATA", default_root)
     _gen(data_root, num_train_patients=40, num_val_patients=8,
          slices_per_patient=10, size=256, hard=True, seed=0,
-         v2=args.fixture == "v2")
+         v2=args.fixture == "v2", v3=args.fixture == "v3")
 
     modes = tuple(args.modes) if args.modes else MODES
     for mode in modes:

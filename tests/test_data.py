@@ -206,3 +206,29 @@ def test_transform_zoo_members(rng):
     np.testing.assert_allclose(never(img, rng), img)
     choice = RandomChoice([lambda a: a * 0, lambda a: a * 0])
     assert choice(img, rng).sum() == 0
+
+
+def test_synthetic_v3_fixture(tmp_path):
+    """v3 headroom fixture: intensity ordering randomized per patient while
+    the class-diagnostic v2 texture stays on (VERDICT r4 item 9)."""
+    import numpy as np
+    from PIL import Image
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data.synthetic import (
+        generate_synthetic_acdc,
+    )
+
+    root = tmp_path / "v3"
+    generate_synthetic_acdc(str(root), num_train_patients=6, num_val_patients=1,
+                            slices_per_patient=2, size=64, v3=True, seed=0)
+    base = root / "ACDC_contrast" / "train"
+    # per-patient mean intensity of ring vs cavity should flip ordering for
+    # some patients (randomized ordering) — gather signs across patients
+    signs = []
+    for pid in range(1, 7):
+        stem = f"patient{pid:03d}_01_00"
+        img = np.asarray(Image.open(base / "img" / f"{stem}.png"), np.float32)
+        gt = np.asarray(Image.open(base / "gt" / f"{stem}.png"))
+        if (gt == 2).sum() and (gt == 3).sum():
+            signs.append(np.sign(img[gt == 2].mean() - img[gt == 3].mean()))
+    assert len(set(signs)) > 1, f"ordering never flips: {signs}"
