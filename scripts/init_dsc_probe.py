@@ -71,13 +71,16 @@ def jax_side(seeds, data_root):
         union = np.zeros((1, 4))
         hist = np.zeros(4)
         for batch in val:
-            img = jnp.asarray(batch["image"])
+            img = np.asarray(batch["image"])
+            if img.ndim == 3:
+                img = img[..., None]
             tgt = jnp.asarray(batch["target"])
-            mask = jnp.ones((img.shape[0],), jnp.float32)
-            out = eval_step(state.params, state.batch_stats, img, tgt, mask)
+            mask = jnp.asarray(batch["mask"], jnp.float32)
+            out = eval_step(state.params, state.batch_stats, jnp.asarray(img),
+                            tgt, mask)
             inter += np.asarray(out["inter"])
             union += np.asarray(out["union"])
-            pred = np.asarray(out["pred"])
+            pred = np.asarray(out["pred"])[np.asarray(batch["mask"])]
             hist += np.bincount(pred.ravel(), minlength=4)
         dsc = 2.0 * inter[0, 1:] / np.maximum(union[0, 1:], 1e-8)
         rows.append({"framework": "jax", "seed": seed,
