@@ -192,12 +192,24 @@ def bench_e2e(dtype_name: str) -> float:
     # BENCH_PIPELINED=1: software-pipelined scan — measured NEUTRAL on v5e
     # (the core serializes ops; see build_epoch_scan_pipelined docstring)
     pipelined = os.environ.get("BENCH_PIPELINED", "0") == "1"
+    # BENCH_AUGMENT=epoch: per-epoch store pre-augmentation (amortizes the
+    # serialized rotation gather across within-epoch redraws of a slice)
+    preaug = os.environ.get("BENCH_AUGMENT", "draw") == "epoch"
     root = tempfile.mkdtemp(prefix="bench_acdc_")
     generate_synthetic_acdc(root, num_train_patients=20, num_val_patients=2,
                             slices_per_patient=10, size=256)
     store = DeviceDataStore(ACDCDataset(root, "train"), pack=True)
     stores = {"labeled": store, "unlabeled": store}
-    if pipelined:  # production path: augmentation overlaps the previous step
+    if preaug:
+        from mi_based_regularized_semi_supervised_segmentation_tpu.engine.steps import (
+            build_epoch_scan_preaug,
+        )
+
+        state, raw = _build(dtype_name, data_store=None, jit=False)
+        epoch_fn = build_epoch_scan_preaug(
+            raw, stores, steps, crop=CROP,
+            geometry=os.environ.get("BENCH_GEOMETRY", "fused"))
+    elif pipelined:  # augmentation scheduled alongside the previous step
         state, raw = _build(dtype_name, data_store=None, jit=False)
         epoch_fn = build_epoch_scan_pipelined(
             build_augment_fn(stores, crop=CROP,

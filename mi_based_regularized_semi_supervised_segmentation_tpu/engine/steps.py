@@ -552,6 +552,70 @@ def build_epoch_scan_pipelined(aug_fn, step_fn, num_batches: int, jit: bool = Tr
     return epoch
 
 
+def build_epoch_scan_preaug(step_fn, data_store, num_batches: int,
+                            crop: int = 224, geometry: str = "fused",
+                            jit: bool = True):
+    """Per-EPOCH store pre-augmentation (Kernel.augment=epoch): augment every
+    stored slice ONCE at the top of the epoch program, then each step does a
+    contiguous row-gather from the augmented store plus the per-step keyed
+    twin-view flips inside ``step_fn``.
+
+    Why: the e2e profile (docs/study_r05/e2e_profile.md) shows the per-draw
+    rotation gather costs 8.9 ms of the 74.3 ms step — gathers run at ~13
+    cycles/ELEMENT serialized on the core, and the flagship epoch redraws
+    each stored slice ~10x (300 steps x 14 draws vs ~400 stored slices).
+    Augmenting per slice per epoch amortizes that 10x: each occurrence of a
+    slice within one epoch shares its rotate/flip/crop/jitter draw, but the
+    draw is fresh every epoch (keys fold in the epoch rng), so across the
+    100-epoch budget every slice still sees ~100 independent transforms.
+    SEMANTICS DELTA vs the reference (fresh transform per DRAW,
+    semi_seg/epocher.py:144-150): within-epoch redraws are correlated. The
+    per-step twin-view flips that drive the UDA/IIC pairing stay per-draw
+    keyed inside the train step, untouched. Capability-checked in
+    docs/study_r05/STUDY.md before becoming a default anywhere.
+
+    step_fn must be the UNJITTED TENSOR-mode step (data_store=None).
+    Returns epoch_fn(state, batches) with the build_epoch_scan contract.
+    """
+    from ..ops.augment_device import augment_pair_batch
+
+    lab_store = data_store["labeled"] if isinstance(data_store, dict) else data_store
+    unlab_store = data_store["unlabeled"] if isinstance(data_store, dict) else data_store
+
+    def epoch(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        aug_key, chain_rng = jax.random.split(state.rng)
+        state = state.replace(rng=chain_rng)
+        k_l, k_u = jax.random.split(aug_key)
+        lab_packed = getattr(lab_store, "packed", None)
+        lab_img, lab_tgt = augment_pair_batch(
+            k_l,
+            lab_store.images if lab_packed is None else lab_packed,
+            lab_store.labels if lab_packed is None else None,
+            crop=crop, valid_hw=lab_store.valid_hw_dev,
+            offsets=lab_store.offsets_dev, geometry=geometry,
+            packed=lab_packed is not None,
+        )
+        unlab_img, _ = augment_pair_batch(
+            k_u, unlab_store.images, None, crop=crop,
+            valid_hw=unlab_store.valid_hw_dev,
+            offsets=unlab_store.offsets_dev, geometry=geometry,
+        )
+
+        def body(carry, batch):
+            b = {
+                "labeled_image": lab_img[batch["labeled_indices"]],
+                "labeled_target": lab_tgt[batch["labeled_indices"]],
+                "unlabeled_image": unlab_img[batch["unlabeled_indices"]],
+            }
+            return step_fn(carry, b)
+
+        return jax.lax.scan(body, state, batches, length=num_batches)
+
+    if jit:
+        return jax.jit(epoch, donate_argnums=(0,))
+    return epoch
+
+
 def build_eval_scan(model, *, num_classes: int, data_store, crop: int = 224,
                     jit: bool = True):
     """Whole-eval-set program: scan over patient index batches.

@@ -234,6 +234,13 @@ class SemiTrainer:
             print(f"[trainer] WARNING: Kernel.geometry={geometry!r} only "
                   "applies to on-device augmentation (Trainer.device_data: "
                   "true); the host data path ignores it.", flush=True)
+        if (kernel_cfg.get("augment", "draw") != "draw"
+                and not (self._device_data
+                         and bool(trainer_cfg.get("epoch_scan", True)))):
+            print(f"[trainer] WARNING: Kernel.augment="
+                  f"{kernel_cfg.get('augment')!r} only applies to the "
+                  "device-data epoch-scan path (Trainer.device_data: true, "
+                  "epoch_scan: true); other paths ignore it.", flush=True)
         self._train_step = build_train_step(
             self._model,
             self._tx,
@@ -273,7 +280,26 @@ class SemiTrainer:
             # tested option (it would matter on platforms with concurrent
             # streams); default stays the simpler aug-in-step scan.
             self._pipelined = bool(trainer_cfg.get("pipelined_scan", False))
-            from .steps import build_augment_fn, build_epoch_scan_pipelined
+            from .steps import (
+                build_augment_fn,
+                build_epoch_scan_pipelined,
+                build_epoch_scan_preaug,
+            )
+
+            # Kernel.augment: draw (default, reference semantics — fresh
+            # transform per batch draw) | epoch (pre-augment the whole store
+            # once per epoch; amortizes the serialized rotation gather ~10x
+            # at the flagship budget — see build_epoch_scan_preaug).
+            augment_mode = kernel_cfg.get("augment", "draw")
+            if augment_mode not in ("draw", "epoch"):
+                raise ValueError(
+                    f"Kernel.augment={augment_mode!r}: expected 'draw' | 'epoch'")
+            self._preaug = augment_mode == "epoch"
+            if self._preaug and self._pipelined:
+                raise ValueError(
+                    "Kernel.augment=epoch and Trainer.pipelined_scan are "
+                    "mutually exclusive (preaug already removes the per-step "
+                    "augmentation the pipeline would overlap)")
 
             raw_step = build_train_step(
                 self._model, self._tx, self.mode,
@@ -282,7 +308,8 @@ class SemiTrainer:
                 feature_importance=self._feature_importance,
                 projector=self._projector,
                 backend=backend,
-                data_store=None if self._pipelined else self._data_stores,
+                data_store=None if (self._pipelined or self._preaug)
+                else self._data_stores,
                 crop=self._crop_size,
                 geometry=geometry,
                 n_labeled_valid=lab_bs if self._batch_padded else None,
@@ -302,6 +329,10 @@ class SemiTrainer:
                       if self._pipelined else None)
 
             def make_epoch_fn(size: int):
+                if self._preaug:
+                    return build_epoch_scan_preaug(
+                        raw_step, self._data_stores, size,
+                        crop=self._crop_size, geometry=geometry)
                 if self._pipelined:
                     return build_epoch_scan_pipelined(aug_fn, raw_step, size)
                 return build_epoch_scan(raw_step, size)

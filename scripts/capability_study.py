@@ -29,7 +29,8 @@ MODES = ("partial", "uda", "iic", "udaiic", "fs")
 
 def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
                  stem: str = "conv", geometry: str = "fused",
-                 precision: str = "bfloat16", bn_dtype: str = ""):
+                 precision: str = "bfloat16", bn_dtype: str = "",
+                 augment: str = "draw"):
     labeled_ratio = 1.0 if mode == "fs" else 0.05
     unlabeled_ratio = 0.0 if mode == "fs" else 0.95
     trainer_name = "partial" if mode == "fs" else mode
@@ -51,7 +52,7 @@ def build_config(mode: str, seed: int, save_dir: str, epochs: int, batches: int,
                     "feature_importance": [1.0, 0.5, 0.5]},
         "Precision": {"compute_dtype": precision,
                       "bn_dtype": bn_dtype or precision},
-        "Kernel": {"geometry": geometry},
+        "Kernel": {"geometry": geometry, "augment": augment},
         "UDARegCriterion": {"name": "mse", "weight": 10.0},
         "IICRegParameters": {
             "EncoderParams": {"num_clusters": 20, "num_subheads": 5,
@@ -85,6 +86,9 @@ def main():
                     default="fused",
                     help="shear: Pallas 3-shear roll rotation "
                          "(capability spot-check for the rotation lever)")
+    ap.add_argument("--augment", choices=["draw", "epoch"], default="draw",
+                    help="epoch: per-epoch store pre-augmentation "
+                         "(Kernel.augment=epoch capability gate, r5)")
     ap.add_argument("--precision", choices=["bfloat16", "float32"],
                     default="bfloat16",
                     help="float32: fp32-parity capability spot-check "
@@ -130,7 +134,8 @@ def main():
     # resuming an in-flight directory keeps working.
     variant = {"fixture": args.fixture, "stem": args.stem,
                "geometry": args.geometry, "precision": args.precision,
-               "bn_dtype": args.bn_dtype or args.precision}
+               "bn_dtype": args.bn_dtype or args.precision,
+               "augment": args.augment}
 
     def run_key(r):
         return (r["mode"], r["seed"],
@@ -141,7 +146,9 @@ def main():
                 # so the missing-field default is factual, not invocation-tied
                 r.get("precision", "bfloat16"),
                 # rows written before bn_dtype existed used bn == compute
-                r.get("bn_dtype", r.get("precision", "bfloat16")))
+                r.get("bn_dtype", r.get("precision", "bfloat16")),
+                # rows written before the augment axis existed were draw
+                r.get("augment", "draw"))
 
     done = set()
     if results_path.exists():
@@ -162,13 +169,14 @@ def main():
     for mode in modes:
         for seed in seeds:
             if (mode, seed, args.fixture, args.stem, args.geometry,
-                    args.precision, variant["bn_dtype"]) in done:
+                    args.precision, variant["bn_dtype"], args.augment) in done:
                 print(f"[study] skip {mode} seed {seed} (done)", flush=True)
                 continue
             set_seed(seed)
             cfg = build_config(mode, seed, f"study/{mode}_s{seed}", epochs, batches,
                                stem=args.stem, geometry=args.geometry,
-                               precision=args.precision, bn_dtype=args.bn_dtype)
+                               precision=args.precision, bn_dtype=args.bn_dtype,
+                               augment=args.augment)
             labeled, unlabeled, test = get_dataloaders(cfg, data_root=data_root)
             val = create_val_loader(unlabeled, test)
             Trainer = trainer_zoos[cfg["Trainer"]["name"]]

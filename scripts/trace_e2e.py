@@ -119,7 +119,7 @@ def main():
     # ---- epoch scan ------------------------------------------------------
     state, stacked = epoch_fn(state, batches())  # compile + warm
     float(jax.device_get(stacked["total_loss"])[-1])
-    trace_dir = "/tmp/jax_trace_e2e"
+    trace_dir = "/tmp/jax_trace_e2e_train"
     os.system(f"rm -rf {trace_dir}")
     t0 = time.perf_counter()
     jax.profiler.start_trace(trace_dir)
@@ -153,6 +153,7 @@ def main():
     idx_d, mask_d = jax.device_put(indices), jax.device_put(masks)
     out = eval_scan(state.params, state.batch_stats, idx_d, mask_d)
     float(jax.device_get(out["loss"])[-1])
+    trace_dir = "/tmp/jax_trace_e2e_eval"
     os.system(f"rm -rf {trace_dir}")
     t0 = time.perf_counter()
     jax.profiler.start_trace(trace_dir)

@@ -100,3 +100,76 @@ def test_train_step_shear_geometry(tmp_path, rng):
     })
     assert np.isfinite(float(m["sup_loss"]))
     assert int(state.step) == 1
+
+
+def test_epoch_scan_preaug_amortizes_and_trains(rng, monkeypatch, tmp_path):
+    """Kernel.augment=epoch: augment_pair_batch is invoked exactly twice per
+    EPOCH (labeled + unlabeled store) regardless of num_batches — the whole
+    point of the mode — and the epoch still trains (finite losses, params
+    move, rng chains so the next epoch redraws)."""
+    import jax
+    import numpy as np
+
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data import (
+        ACDCDataset,
+        generate_synthetic_acdc,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.data.device_pipeline import (
+        DeviceDataStore,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.optim import (
+        build_optimizer,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.state import (
+        init_train_state,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.engine.steps import (
+        build_epoch_scan_preaug,
+        build_train_step,
+    )
+    from mi_based_regularized_semi_supervised_segmentation_tpu.models import UNet
+    from mi_based_regularized_semi_supervised_segmentation_tpu.ops import (
+        augment_device,
+    )
+
+    calls = []
+    real = augment_device.augment_pair_batch
+
+    def spy(key, *a, **k):
+        calls.append(1)
+        return real(key, *a, **k)
+
+    monkeypatch.setattr(augment_device, "augment_pair_batch", spy)
+
+    crop, steps = 32, 3
+    root = tmp_path / "preaug"
+    generate_synthetic_acdc(str(root), num_train_patients=3, num_val_patients=1,
+                            slices_per_patient=4, size=2 * crop)
+    store = DeviceDataStore(ACDCDataset(str(root), "train"), pack=True)
+    stores = {"labeled": store, "unlabeled": store}
+    model = UNet(input_dim=1, num_classes=4)
+    tx = build_optimizer({"name": "Adam", "lr": 1e-3})
+    state = init_train_state(model, tx, (1, crop, crop, 1), seed=0)
+    raw = build_train_step(model, tx, "partial", num_classes=4,
+                           jit=False, reg_weight=0.0)
+    epoch_fn = build_epoch_scan_preaug(raw, stores, steps, crop=crop)
+
+    idx = np.random.default_rng(0)
+    batches = {
+        "labeled_indices": jax.device_put(
+            idx.integers(0, len(store), (steps, 2)).astype(np.int32)),
+        "unlabeled_indices": jax.device_put(
+            idx.integers(0, len(store), (steps, 3)).astype(np.int32)),
+    }
+    params_before = jax.device_get(state.params)
+    rng_before = np.asarray(jax.device_get(state.rng))
+    state2, stacked = epoch_fn(state, batches)
+    # trace-time invocation count: 2 calls (labeled + unlabeled), NOT 2*steps
+    assert sum(calls) == 2, calls
+    losses = np.asarray(jax.device_get(stacked["total_loss"]))
+    assert losses.shape == (steps,) and np.all(np.isfinite(losses))
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, b), params_before,
+        jax.device_get(state2.params))
+    assert any(jax.tree_util.tree_leaves(changed))
+    assert not np.array_equal(np.asarray(jax.device_get(state2.rng)), rng_before)
