@@ -7,7 +7,13 @@ and the fp32 parity variant, so every BENCH_r*.json records the full story:
 
   {"metric": "slices_per_sec_per_chip", "value": N, "unit": "slices/s",
    "vs_baseline": N, "baseline": {...},
-   "e2e": {"value": N, "vs_baseline": N}, "fp32": {"value": N}}
+   "e2e": {"value": N, "vs_baseline": N, "augment": "epoch"},
+   "e2e_draw": {"value": N, "vs_baseline": N}, "fp32": {"value": N}}
+
+e2e uses Kernel.augment=epoch (per-epoch store pre-augmentation) — the
+fastest CAPABILITY-GATED pipeline (3-seed x 2-mode gate PASS,
+docs/study_r05/augment_gate.md); e2e_draw is the same pipeline under the
+reference's per-draw augmentation semantics.
 
 Workload = the reference's headline step (SURVEY §6): U-Net fwd+bwd over the
 concatenated B=24 batch (4 labeled + 10 unlabeled + 10 flipped twins) at
@@ -168,7 +174,7 @@ def bench_step(dtype_name: str, want_flops: bool = False):
     return rate, (flops or ANALYTIC_FLOPS_PER_STEP), source
 
 
-def bench_e2e(dtype_name: str) -> float:
+def bench_e2e(dtype_name: str, augment: str | None = None) -> float:
     """End-to-end epoch slices/s: device store + on-device augmentation +
     whole epoch as ONE lax.scan program."""
     import tempfile
@@ -192,9 +198,13 @@ def bench_e2e(dtype_name: str) -> float:
     # BENCH_PIPELINED=1: software-pipelined scan — measured NEUTRAL on v5e
     # (the core serializes ops; see build_epoch_scan_pipelined docstring)
     pipelined = os.environ.get("BENCH_PIPELINED", "0") == "1"
-    # BENCH_AUGMENT=epoch: per-epoch store pre-augmentation (amortizes the
-    # serialized rotation gather across within-epoch redraws of a slice)
-    preaug = os.environ.get("BENCH_AUGMENT", "draw") == "epoch"
+    # BENCH_AUGMENT=epoch (default): per-epoch store pre-augmentation —
+    # amortizes the serialized rotation gather across within-epoch redraws
+    # of a slice; capability-gated PASS on 3 seeds x 2 modes
+    # (docs/study_r05/augment_gate.md). draw = reference per-draw semantics.
+    if augment is None:
+        augment = os.environ.get("BENCH_AUGMENT", "epoch")
+    preaug = augment == "epoch"
     root = tempfile.mkdtemp(prefix="bench_acdc_")
     generate_synthetic_acdc(root, num_train_patients=20, num_val_patients=2,
                             slices_per_patient=10, size=256)
@@ -303,10 +313,15 @@ def main() -> None:
     if measured_ratio is not None:
         record["baseline"]["measured_cpu_ratio"] = measured_ratio
     if not os.environ.get("BENCH_STEP_ONLY"):
-        e2e_v = bench_e2e(dtype_name)
+        e2e_v = bench_e2e(dtype_name)  # augment=epoch (gated default)
         record["e2e"] = {"value": round(e2e_v, 2),
                          "vs_baseline": round(e2e_v / BASELINE, 2),
-                         "achieved_tflops": round(e2e_v / batch * flops / 1e12, 2)}
+                         "achieved_tflops": round(e2e_v / batch * flops / 1e12, 2),
+                         "augment": os.environ.get("BENCH_AUGMENT", "epoch")}
+        # reference per-draw augmentation semantics, same pipeline otherwise
+        e2e_draw = bench_e2e(dtype_name, augment="draw")
+        record["e2e_draw"] = {"value": round(e2e_draw, 2),
+                              "vs_baseline": round(e2e_draw / BASELINE, 2)}
         fp32_v = bench_step("float32")
         record["fp32"] = {"value": round(fp32_v, 2),
                           "vs_baseline": round(fp32_v / BASELINE, 2)}

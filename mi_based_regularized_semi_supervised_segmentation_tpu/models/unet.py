@@ -92,6 +92,24 @@ class UpConv(nn.Module):
         return nn.relu(x)
 
 
+class _HeadConv1x1(nn.Module):
+    """1x1 classification head as an einsum with an nn.Conv-shaped param
+    tree ({kernel [1,1,Cin,Cout], bias [Cout]}) — see the call-site comment
+    in UNet for why this beats nn.Conv's weight-grad lowering."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", _conv_init(self.dtype),
+                            (1, 1, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return (x.astype(self.dtype) @ kernel[0, 0].astype(self.dtype)
+                + bias.astype(self.dtype))
+
+
 def space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B, H/r, W/r, r*r*C] (pixel-unshuffle)."""
     B, H, W, C = x.shape
@@ -185,8 +203,17 @@ class UNet(nn.Module):
         d2 = ConvBlock_(16, self.dtype, self.bn_dtype, name="Up_conv2")(jnp.concatenate([e1, d2], axis=-1), train, bn_mask)
 
         head_ch = self.num_classes * (4 if self.stem == "s2d" else 1)
-        logits = nn.Conv(head_ch, (1, 1), use_bias=True, dtype=self.dtype,
-                         kernel_init=_conv_init(self.dtype), name="DeConv_1x1")(d2)
+        # 1x1 head as an explicit matmul over the channel axis: the nn.Conv
+        # lowering pays the conv WEIGHT-GRAD pathology (XLA lowers the
+        # [B,H,W,16] x [B,H,W,C] -> [1,1,16,C] contraction as a slow
+        # convolution fusion — 1.44 ms/step of the 65.5 ms bare step in the
+        # r5 trace, same pathology models/heads.py:88 documents for the
+        # cluster heads); the einsum grad is one MXU contraction. Param
+        # tree/shapes unchanged ([1,1,Cin,Cout] kernel + bias), so
+        # checkpoints and the torch-porting tests are untouched; a 1x1 conv
+        # IS this matmul, bit-comparable up to fp accumulation order.
+        head = _HeadConv1x1(head_ch, self.dtype, name="DeConv_1x1")
+        logits = head(d2)
         if self.stem == "s2d":
             logits = depth_to_space(logits, 2)
         logits = logits.astype(jnp.float32)
