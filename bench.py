@@ -194,7 +194,12 @@ def bench_e2e(dtype_name: str, augment: str | None = None) -> float:
         build_epoch_scan_pipelined,
     )
 
-    steps = int(os.environ.get("BENCH_E2E_STEPS", "100"))
+    # Epoch length matches the flagship/reference epoch (config/semi.yaml
+    # Trainer.num_batches: 300, /root/reference/config/semi.yaml:49): the
+    # e2e number is the cost of a REAL epoch program, and per-epoch work
+    # (store pre-augmentation under augment=epoch) amortizes exactly as it
+    # does in training.
+    steps = int(os.environ.get("BENCH_E2E_STEPS", "300"))
     # BENCH_PIPELINED=1: software-pipelined scan — measured NEUTRAL on v5e
     # (the core serializes ops; see build_epoch_scan_pipelined docstring)
     pipelined = os.environ.get("BENCH_PIPELINED", "0") == "1"
